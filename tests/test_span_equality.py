@@ -1,0 +1,94 @@
+"""Span-sequence equality: distributed pipeline vs sequential oracle.
+
+The BASELINE.json per-row invariant: for every doc_id, the sequence of
+(kind, text, media_ref) ordered by offset must be identical between the
+Ray pipeline and oracle/pyref.py — plus status/error/provider accounting.
+This is the proof that explode → actor-pool OCR → groupby+sort reassembly
+loses nothing and reorders nothing.
+"""
+
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from oracle.pyref import extract_corpus, rollup_collections
+from unravel_ray.config import PipelineConfig
+from unravel_ray.pipeline import build_extraction, build_rollup
+from unravel_ray.synth import make_corpus
+
+N_DOCS = 300  # covers every archetype incl. whales, poison, invalid
+
+
+@pytest.fixture(scope="module")
+def corpus() -> pa.Table:
+    return make_corpus(N_DOCS)
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(ray_session, corpus):
+    cfg = PipelineConfig(reassemble_buckets=16, ocr_concurrency=2)
+    ds = ray.data.from_arrow(corpus).repartition(8)
+    out = build_extraction(ds, cfg)
+    rows = out.take_all()
+    return {r["doc_id"]: r for r in rows}
+
+
+@pytest.fixture(scope="module")
+def oracle_out(corpus):
+    return {r["doc_id"]: r for r in extract_corpus(corpus.to_pylist())}
+
+
+def test_no_docs_lost_or_duplicated(pipeline_out, oracle_out):
+    assert len(pipeline_out) == N_DOCS
+    assert set(pipeline_out) == set(oracle_out)
+
+
+def test_span_sequence_equality(pipeline_out, oracle_out):
+    mismatches = []
+    for doc_id, oracle_row in oracle_out.items():
+        got = pipeline_out[doc_id]
+        got_seq = [(s["kind"], s["text"], s["media_ref"]) for s in
+                   sorted(got["spans"] or [], key=lambda s: s["offset"])]
+        want_seq = [(s["kind"], s["text"], s["media_ref"]) for s in oracle_row["spans"]]
+        if got_seq != want_seq:
+            mismatches.append((doc_id, want_seq[:3], got_seq[:3]))
+    assert not mismatches, f"{len(mismatches)} docs mismatch; first: {mismatches[0]}"
+
+
+def test_offsets_dense_and_ordered(pipeline_out):
+    for r in pipeline_out.values():
+        offs = [s["offset"] for s in r["spans"] or []]
+        assert offs == list(range(len(offs))), r["doc_id"]
+
+
+def test_status_error_provider_accounting(pipeline_out, oracle_out):
+    for doc_id, want in oracle_out.items():
+        got = pipeline_out[doc_id]
+        assert got["status"] == want["status"], doc_id
+        assert got["error_message"] == want["error_message"], doc_id
+        assert got["provider"] == want["provider"], doc_id
+        assert got["n_spans"] == want["n_spans"], doc_id
+        assert got["n_chars"] == want["n_chars"], doc_id
+
+
+def test_corpus_exercises_all_paths(oracle_out):
+    statuses = {r["status"] for r in oracle_out.values()}
+    assert statuses == {"completed", "failed", "failed_validation"}
+    kinds = {s["kind"] for r in oracle_out.values() for s in r["spans"]}
+    assert {"heading", "text", "list_item", "pdf_text", "ocr_text"} <= kinds
+    # whales present
+    assert any(len(r["spans"]) >= 1 and r["n_chars"] > 20_000 for r in oracle_out.values())
+
+
+def test_rollup_matches_oracle(ray_session, corpus, oracle_out):
+    cfg = PipelineConfig(reassemble_buckets=16, ocr_concurrency=2)
+    ds = ray.data.from_arrow(corpus).repartition(8)
+    rollup = build_rollup(build_extraction(ds, cfg)).take_all()
+    want = rollup_collections(list(oracle_out.values()))
+    got = {r["collection_id"]: r for r in rollup}
+    assert set(got) == set(want)
+    for cid, w in want.items():
+        g = got[cid]
+        for k in ("n_docs", "n_completed", "n_failed", "n_pending", "collection_status"):
+            assert g[k] == w[k], (cid, k, g, w)

@@ -1,0 +1,244 @@
+"""HTML boilerplate strip + DOM walk -> ordered spans (operators M8/M9).
+
+Behavioral contract, derived from two reference units:
+
+* Sanitization (reference ocrprocessing/impl/UpdateOcrContentImpl.java:45-51,
+  98-103): scripts, styles, event handlers and non-safelisted chrome are
+  removed; formatting/content tags survive. We generalize the static
+  safelist into readability-style DOM-density heuristics per the north rule:
+  chrome containers (nav/header/footer/aside/form/...) are dropped
+  wholesale, and block elements that are mostly links (link-text ratio
+  > LINK_DENSITY_MAX with little absolute text) are dropped as link farms.
+
+* Span walk (reference wordexport/impl/DocxExportServiceImpl.java:46-159):
+  walk the body's child elements in document order; h1-h6 emit heading
+  runs, p emits a paragraph, ul/ol emit one run per li, unknown containers
+  recurse, unknown leaves fall back to a paragraph; inline
+  strong/b/em/i/u/span/br contribute to the enclosing paragraph's text
+  (br = line break). Bare text nodes at body level are not walked
+  (jsoup ``body.children()`` yields elements only).
+
+Output span kinds: ``heading``, ``list_item``, ``text``.
+
+Implementation is stdlib-only (html.parser); no lxml/selectolax dependency.
+Spans whose normalized text is empty are dropped (an empty run carries no
+content for a data engine; documented engine decision).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# Subtrees never contributing content (chrome / executable / invisible).
+DROP_TAGS = frozenset(
+    {
+        "script", "style", "nav", "header", "footer", "aside", "form",
+        "iframe", "noscript", "template", "button", "svg", "object",
+        "embed", "applet", "select", "option", "textarea",
+    }
+)
+
+VOID_TAGS = frozenset(
+    {"br", "hr", "img", "input", "meta", "link", "area", "base", "col",
+     "source", "track", "wbr"}
+)
+
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+# Link-farm heuristic: a block whose text is mostly anchor text and short.
+LINK_DENSITY_MAX = 0.5
+LINK_FARM_MAX_CHARS = 200
+
+_WS_RUN = re.compile(r"[ \t\r\f\v]+")
+
+
+@dataclass
+class Element:
+    tag: str
+    attrs: dict[str, str] = field(default_factory=dict)
+    children: list = field(default_factory=list)  # Element | str (text node)
+
+
+class _FragmentParser(HTMLParser):
+    """Tolerant HTML-fragment -> tree builder."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Element("#root")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        el = Element(tag.lower(), {k.lower(): (v or "") for k, v in attrs})
+        self.stack[-1].children.append(el)
+        if el.tag not in VOID_TAGS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag, attrs):
+        el = Element(tag.lower(), {k.lower(): (v or "") for k, v in attrs})
+        self.stack[-1].children.append(el)
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        # pop to the nearest matching open tag; ignore stray closers
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_fragment(html: str) -> Element:
+    p = _FragmentParser()
+    p.feed(html or "")
+    p.close()
+    return p.root
+
+
+# ---------------------------------------------------------------------------
+# boilerplate strip (M8 + north-rule DOM-density scoring)
+# ---------------------------------------------------------------------------
+
+def _raw_text_len(node) -> int:
+    if isinstance(node, str):
+        return len(node.strip())
+    return sum(_raw_text_len(c) for c in node.children)
+
+
+def _link_text_len(node, in_link: bool = False) -> int:
+    if isinstance(node, str):
+        return len(node.strip()) if in_link else 0
+    linked = in_link or node.tag == "a"
+    return sum(_link_text_len(c, linked) for c in node.children)
+
+
+def _is_link_farm(el: Element) -> bool:
+    total = _raw_text_len(el)
+    if total == 0 or total >= LINK_FARM_MAX_CHARS:
+        return False
+    linked = _link_text_len(el)
+    return linked / total > LINK_DENSITY_MAX
+
+
+def strip_boilerplate(root: Element) -> Element:
+    """Return a copy of the tree with chrome subtrees and link farms removed.
+
+    Event-handler attributes are dropped as well (safelist analog,
+    UpdateOcrContentImpl.java:45-51 strips everything not allowed).
+    """
+
+    def clean(node):
+        if isinstance(node, str):
+            return node
+        if node.tag in DROP_TAGS:
+            return None
+        if node.tag in {"div", "ul", "ol", "p", "table", "section"} and _is_link_farm(node):
+            return None
+        attrs = {k: v for k, v in node.attrs.items() if not k.startswith("on")}
+        kids = []
+        for c in node.children:
+            cc = clean(c)
+            if cc is not None:
+                kids.append(cc)
+        return Element(node.tag, attrs, kids)
+
+    out = clean(root)
+    return out if out is not None else Element(root.tag)
+
+
+# ---------------------------------------------------------------------------
+# span walk (M9)
+# ---------------------------------------------------------------------------
+
+def _normalize(text: str) -> str:
+    """Collapse horizontal whitespace, strip line ends, drop blank edges.
+
+    '\\n' (from <br>) survives as a line separator.
+    """
+    text = _WS_RUN.sub(" ", text)
+    lines = [ln.strip() for ln in text.split("\n")]
+    # drop leading/trailing blank lines but keep interior breaks
+    while lines and lines[0] == "":
+        lines.pop(0)
+    while lines and lines[-1] == "":
+        lines.pop()
+    return "\n".join(lines)
+
+
+def _inline_text(node) -> str:
+    """Render a node's full text for inline/paragraph context; br -> \\n."""
+    if isinstance(node, str):
+        return node
+    if node.tag == "br":
+        return "\n"
+    return "".join(_inline_text(c) for c in node.children)
+
+
+def _paragraph_text(el: Element) -> str:
+    return _normalize(_inline_text(el))
+
+
+def walk_spans(root: Element) -> list[tuple[str, str]]:
+    """Emit (kind, text) tuples in document order.
+
+    Mirrors the reference DOM walk (DocxExportServiceImpl.java:46-159);
+    empty-text runs are dropped.
+    """
+    out: list[tuple[str, str]] = []
+
+    def emit(kind: str, text: str) -> None:
+        if text:
+            out.append((kind, text))
+
+    def process(el: Element) -> None:
+        tag = el.tag
+        if tag in HEADING_TAGS:
+            emit("heading", _paragraph_text(el))
+        elif tag == "p":
+            emit("text", _paragraph_text(el))
+        elif tag in {"ul", "ol"}:
+            for li in el.children:
+                if isinstance(li, Element) and li.tag == "li":
+                    emit("list_item", _paragraph_text(li))
+        else:
+            child_elements = [c for c in el.children if isinstance(c, Element)]
+            if child_elements:
+                for c in child_elements:
+                    process(c)
+            else:
+                emit("text", _paragraph_text(el))
+
+    for child in root.children:
+        if isinstance(child, Element):
+            process(child)
+    return out
+
+
+def extract_html_spans(html: str) -> list[tuple[str, str]]:
+    """Full M8+M9 kernel: parse -> strip boilerplate -> ordered spans."""
+    return walk_spans(strip_boilerplate(parse_fragment(html)))
+
+
+def split_plain_text(text: str) -> list[str]:
+    """Plain text -> one run per line (operator M10).
+
+    Reference ``text.split("\\r?\\n")`` (DocxExportServiceImpl.java:28-34);
+    Java split drops trailing empty strings — mirrored here.
+    """
+    if text is None:
+        return []
+    parts = re.split(r"\r?\n", text)
+    while parts and parts[-1] == "":
+        parts.pop()
+    return parts
+
+
+def is_html(text: str | None) -> bool:
+    """HTML sniff (DocxExportServiceImpl.java:41-44)."""
+    return text is not None and any(
+        m in text for m in ("<p>", "<h3>", "<ul>", "<li>")
+    )

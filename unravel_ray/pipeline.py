@@ -1,0 +1,139 @@
+"""Flagship extraction pipeline composition (SURVEY.md §3.1 rebuilt on Ray Data).
+
+The reference's bulk-upload→Kafka→consumer→provider→rollup flow
+(BulkDocumentUploadExtractionImpl.java:62-204 → ProcessOcr.java:57-151)
+collapses into one lazy streaming Dataset plan:
+
+    read → explode_extract (stateless tasks)
+         → OcrStage (actor pool, warm providers)
+         → groupby(hash(doc_id)%B).map_groups(reassemble)   # the shuffle
+         → extracted
+    extracted → groupby(collection_id) aggregate → rollup   # G2
+
+Everything streams with backpressure; nothing materializes the full input.
+Library code never calls ray.init() — callers own the session.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Count, Sum
+
+from .config import PipelineConfig
+from .schema import EXTRACTED_SCHEMA
+from .stages import OcrStage, add_bucket, explode_extract, reassemble_bucket
+from .synth import interleave_documents_batch
+
+
+def build_extraction(ds: Dataset, cfg: PipelineConfig | None = None) -> Dataset:
+    """docs (DOCS_SCHEMA) -> extracted (EXTRACTED_SCHEMA)."""
+    cfg = cfg or PipelineConfig()
+    units = ds.map_batches(
+        explode_extract, batch_format="pyarrow", batch_size=cfg.explode_batch_size
+    )
+    ocred = units.map_batches(
+        OcrStage,
+        fn_constructor_kwargs={
+            "preferred": cfg.preferred_provider,
+            "fallback_chain": cfg.fallback_chain,
+        },
+        batch_format="pyarrow",
+        batch_size=cfg.ocr_batch_size,
+        concurrency=cfg.ocr_concurrency,
+        num_cpus=cfg.ocr_num_cpus,
+    )
+    bucketed = ocred.map_batches(
+        add_bucket, fn_kwargs={"n_buckets": cfg.reassemble_buckets},
+        batch_format="pyarrow",
+    )
+    return bucketed.groupby("bucket").map_groups(
+        reassemble_bucket, batch_format="pyarrow"
+    )
+
+
+def build_rollup(extracted: Dataset) -> Dataset:
+    """Collection status roll-up (G2, ProcessOcr.java:185-217).
+
+    Partial aggregation first: indicator columns inside map_batches, then a
+    small groupby-sum — no raw-row shuffle of span payloads.
+    """
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        status = batch["status"]
+        completed = pc.cast(pc.equal(status, "completed"), pa.int64())
+        failed = pc.cast(
+            pc.is_in(status, value_set=pa.array(["failed", "failed_validation"])),
+            pa.int64(),
+        )
+        pending = pc.cast(
+            pc.invert(
+                pc.is_in(
+                    status,
+                    value_set=pa.array(["completed", "failed", "failed_validation"]),
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "collection_id": batch["collection_id"],
+                "completed": completed,
+                "failed": failed,
+                "pending": pending,
+            }
+        )
+
+    agg = (
+        extracted.map_batches(indicators, batch_format="pyarrow")
+        .groupby("collection_id")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("completed", alias_name="n_completed"),
+            Sum("failed", alias_name="n_failed"),
+            Sum("pending", alias_name="n_pending"),
+        )
+    )
+
+    def decide(batch: pa.Table) -> pa.Table:
+        n, comp, fail = batch["n_docs"], batch["n_completed"], batch["n_failed"]
+        terminal = pc.add(comp, fail)
+        status = pc.if_else(
+            pc.equal(comp, n),
+            pa.scalar("processed"),
+            pc.if_else(pc.equal(terminal, n), pa.scalar("failed_ocr"),
+                       pa.scalar("processing")),
+        )
+        return batch.append_column("collection_status", status)
+
+    return agg.map_batches(decide, batch_format="pyarrow")
+
+
+def read_docs_corpus(path: str) -> Dataset:
+    """Read an interleaved docs table from parquet (the Lance-analog store)."""
+    return ray.data.read_parquet(path)
+
+
+def documents_to_docs(sf_dir: str, cfg: PipelineConfig | None = None) -> Dataset:
+    """Driver testdata bridge: documents.parquet -> interleaved DOCS rows."""
+    cfg = cfg or PipelineConfig()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return ds.map_batches(
+        interleave_documents_batch, fn_kwargs={"seed": cfg.seed},
+        batch_format="pyarrow",
+    )
+
+
+def run_flagship(sf_dir: str, cfg: PipelineConfig | None = None) -> Dataset:
+    """documents.parquet -> interleave -> extract; the entry() pipeline."""
+    cfg = cfg or PipelineConfig()
+    return build_extraction(documents_to_docs(sf_dir, cfg), cfg)
+
+
+def extracted_schema() -> pa.Schema:
+    return EXTRACTED_SCHEMA

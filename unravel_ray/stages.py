@@ -1,0 +1,283 @@
+"""Ray Data batch stages for the extraction pipeline.
+
+Stage graph (pipeline.py composes these):
+
+    docs ──map_batches──> explode_extract   (stateless: validate + page
+         │                 resolution + per-doc explode to span work units,
+         │                 html/text expansion inline)
+         ├─map_batches──> OcrStage          (ACTOR POOL: warm provider
+         │                 registry per actor; fills OCR'd text)
+         ├─groupby(bucket).map_groups──> reassemble_bucket
+         │                 (the north-rule groupby(doc_id)+sort(offset)
+         │                  shuffle, bucketed hash(doc_id)%B so the group
+         │                  fan-out is B calls, not one per doc)
+         └─> extracted (EXTRACTED_SCHEMA)
+
+Skew note (SURVEY.md §4): a 400-page scanned PDF becomes 400 independent
+work-unit rows; `map_batches` re-batches across block boundaries, so the
+whale's pages spread across the whole OCR actor pool instead of straggling
+one task — this is the explicit doc-size-skew defeat the north rule asks
+for.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from .config import PipelineConfig
+from .html_extract import extract_html_spans, split_plain_text
+from .pages import PageSelectionError, resolve_pages
+from .pdftext import join_direct, join_ocr, needs_ocr_mode
+from .providers import ProviderRegistry
+from .schema import EXTRACTED_SCHEMA, WORKUNIT_SCHEMA
+from .validate import ALLOWED_MIMES, SINGLE_FILE_MAX_BYTES
+
+_PLACEHOLDER_KIND = None  # row that carries a doc with no content/work
+
+
+def explode_extract(batch: pa.Table) -> pa.Table:
+    """Validate + resolve pages + explode docs into span work units.
+
+    One input doc row -> N work-unit rows (html fragments expanded to runs,
+    pdf pages one row each, images one row each). Validation-failed docs
+    emit a single placeholder row so the doc is never dropped
+    (partial-success semantics, DocumentUploadImpl.java:111-120).
+    """
+    rows: list[dict] = []
+    for doc in batch.to_pylist():
+        rows.extend(_explode_doc(doc))
+    return pa.Table.from_pylist(rows, schema=WORKUNIT_SCHEMA)
+
+
+def _wu(doc: dict, **kw) -> dict:
+    base = {
+        "doc_id": doc["doc_id"],
+        "collection_id": doc.get("collection_id"),
+        "kind": None,
+        "text": None,
+        "media_ref": None,
+        "offset": 0,
+        "sub": 0,
+        "page_no": None,
+        "needs_ocr": False,
+        "pdf_mode": None,
+        "doc_status": "ok",
+        "error_message": None,
+        "lang": doc.get("lang"),
+        "size_bucket": 0,
+    }
+    base.update(kw)
+    return base
+
+
+def _explode_doc(doc: dict) -> list[dict]:
+    mime = doc.get("mime_type")
+    size = doc.get("file_size") or 0
+    if mime not in ALLOWED_MIMES:
+        return [_wu(doc, doc_status="failed_validation",
+                    error_message=f"Invalid file type: {mime}")]
+    if size > SINGLE_FILE_MAX_BYTES:
+        return [_wu(doc, doc_status="failed_validation",
+                    error_message=(f"The file size must not exceed "
+                                   f"{SINGLE_FILE_MAX_BYTES // (1024 * 1024)} MB."))]
+
+    spans_in = sorted(doc.get("spans") or [], key=lambda s: s["offset"])
+    pdf_pages = [s for s in spans_in if s["kind"] == "pdf_page"]
+
+    selected: list[int] = []
+    if pdf_pages:
+        try:
+            selected = resolve_pages(
+                len(pdf_pages),
+                doc.get("start_page"),
+                doc.get("end_page"),
+                list(doc.get("pages") or []) or None,
+            )
+        except PageSelectionError as exc:
+            return [_wu(doc, doc_status="failed_validation", error_message=str(exc))]
+
+    n_spans = len(spans_in)
+    size_bucket = 0 if n_spans <= 16 else (1 if n_spans <= 64 else 2)
+    rows: list[dict] = []
+    pdf_done = False
+    for s in spans_in:
+        kind, off = s["kind"], s["offset"]
+        if kind == "html":
+            for j, (k, t) in enumerate(extract_html_spans(s["text"] or "")):
+                rows.append(_wu(doc, kind=k, text=t, offset=off, sub=j,
+                                size_bucket=size_bucket))
+        elif kind == "text":
+            j = 0
+            for line in split_plain_text(s["text"]):
+                if line:
+                    rows.append(_wu(doc, kind="text", text=line, offset=off, sub=j,
+                                    size_bucket=size_bucket))
+                    j += 1
+        elif kind == "image":
+            rows.append(_wu(doc, kind="image", media_ref=s["media_ref"], offset=off,
+                            needs_ocr=True, size_bucket=size_bucket))
+        elif kind == "pdf_page":
+            if pdf_done:
+                continue
+            pdf_done = True
+            first_off = off
+            sel_pages = [(i + 1, pdf_pages[i]["text"]) for i in selected]
+            if needs_ocr_mode(sel_pages):
+                for j, i in enumerate(selected):
+                    rows.append(_wu(doc, kind="pdf_page",
+                                    media_ref=pdf_pages[i]["media_ref"],
+                                    offset=first_off, sub=j, page_no=i + 1,
+                                    needs_ocr=True, pdf_mode="ocr",
+                                    size_bucket=size_bucket))
+            else:
+                for j, i in enumerate(selected):
+                    rows.append(_wu(doc, kind="pdf_page", text=pdf_pages[i]["text"],
+                                    offset=first_off, sub=j, page_no=i + 1,
+                                    pdf_mode="direct", size_bucket=size_bucket))
+        elif s.get("text") or s.get("media_ref"):
+            rows.append(_wu(doc, kind=kind, text=s.get("text"),
+                            media_ref=s.get("media_ref"), offset=off,
+                            size_bucket=size_bucket))
+    if not rows:
+        rows.append(_wu(doc))  # content-less doc still completes
+    return rows
+
+
+class OcrStage:
+    """Actor-pool OCR stage (A1/A2, SURVEY.md §2.3).
+
+    The provider registry (engine handles, fallback chain) is built ONCE in
+    ``__init__`` — per actor, not per batch (the reference re-instantiates
+    Tesseract per request, TesseractOcrProvider.java:210-228; fixed here).
+    Rows with ``needs_ocr=False`` pass through untouched, so one stream
+    serves both cheap and expensive rows without a branch-merge dance.
+    Failures are per-row error columns, never exceptions (failure-as-result,
+    TesseractOcrProvider.java:102-119).
+    """
+
+    def __init__(self, preferred: str = "fake", fallback_chain: tuple[str, ...] = ("fake",)):
+        self.registry = ProviderRegistry(preferred, fallback_chain)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        needs = batch["needs_ocr"].to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(needs)
+        provider_col = np.full(batch.num_rows, None, dtype=object)
+        if idx.size == 0:
+            return batch.append_column("ocr_provider", pa.array(provider_col, pa.string()))
+
+        media = batch["media_ref"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        text = batch["text"].to_pylist()
+        errors = batch["error_message"].to_pylist()
+        lang = langs[idx[0]] if idx.size else None
+        outputs, names = self.registry.extract_batch([media[i] for i in idx], lang)
+        for j, i in enumerate(idx):
+            o = outputs[j]
+            provider_col[i] = names[j]
+            if o.success:
+                text[i] = o.text
+            else:
+                errors[i] = o.error_message
+        batch = batch.set_column(
+            batch.column_names.index("text"), "text", pa.array(text, pa.string())
+        )
+        batch = batch.set_column(
+            batch.column_names.index("error_message"), "error_message",
+            pa.array(errors, pa.string()),
+        )
+        return batch.append_column("ocr_provider", pa.array(provider_col, pa.string()))
+
+
+def add_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
+    """Coarse shuffle key: crc32(doc_id) % B (deterministic across runs)."""
+    ids = batch["doc_id"].to_pylist()
+    buckets = np.fromiter(
+        (zlib.crc32(s.encode()) % n_buckets for s in ids), dtype=np.int32, count=len(ids)
+    )
+    return batch.append_column("bucket", pa.array(buckets, pa.int32()))
+
+
+def reassemble_bucket(group: pa.Table) -> pa.Table:
+    """Rebuild ordered per-doc span sequences for one hash bucket.
+
+    This runs after the groupby(bucket) shuffle — all rows of a doc are
+    co-located here. Within the bucket: stable sort by (doc_id, offset,
+    sub), then a single pass building each doc's ordered spans, applying
+    the exact PDF join semantics (M1/M2) and failure accounting.
+    """
+    if group.num_rows == 0:
+        return EXTRACTED_SCHEMA.empty_table()
+    g = group.sort_by([("doc_id", "ascending"), ("offset", "ascending"), ("sub", "ascending")])
+    rows = g.to_pylist()
+    out: list[dict] = []
+    i = 0
+    n = len(rows)
+    while i < n:
+        j = i
+        did = rows[i]["doc_id"]
+        while j < n and rows[j]["doc_id"] == did:
+            j += 1
+        out.append(_reassemble_doc(rows[i:j]))
+        i = j
+    return pa.Table.from_pylist(out, schema=EXTRACTED_SCHEMA)
+
+
+def _reassemble_doc(rows: list[dict]) -> dict:
+    first = rows[0]
+    out = {
+        "doc_id": first["doc_id"],
+        "collection_id": first["collection_id"],
+        "spans": [],
+        "status": "completed",
+        "error_message": None,
+        "provider": "direct",
+        "n_spans": 0,
+        "n_chars": 0,
+    }
+    if first["doc_status"] == "failed_validation":
+        out["status"] = "failed_validation"
+        out["error_message"] = first["error_message"]
+        out["provider"] = None
+        return out
+
+    failure = next((r for r in rows if r["error_message"]), None)
+    used = next((r["ocr_provider"] for r in rows if r.get("ocr_provider")), None)
+    if failure is not None:
+        out["status"] = "failed"
+        out["error_message"] = failure["error_message"]
+        out["provider"] = used or failure.get("ocr_provider")
+        return out
+
+    emitted: list[tuple[str, str | None, str | None]] = []
+    pdf_rows = [r for r in rows if r["kind"] == "pdf_page"]
+    pdf_emitted = False
+    for r in rows:
+        kind = r["kind"]
+        if kind is None:
+            continue
+        if kind == "pdf_page":
+            if pdf_emitted:
+                continue
+            pdf_emitted = True
+            pages = [(p["page_no"], p["text"]) for p in pdf_rows]
+            joined = (
+                join_ocr(pages) if pdf_rows[0]["pdf_mode"] == "ocr" else join_direct(pages)
+            )
+            if joined:
+                emitted.append(("pdf_text", joined, None))
+        elif kind == "image":
+            emitted.append(("ocr_text", r["text"], r["media_ref"]))
+        else:
+            emitted.append((kind, r["text"], r["media_ref"]))
+
+    out["spans"] = [
+        {"kind": k, "text": t, "media_ref": m, "offset": idx}
+        for idx, (k, t, m) in enumerate(emitted)
+    ]
+    out["provider"] = used or "direct"
+    out["n_spans"] = len(emitted)
+    out["n_chars"] = sum(len(t) for _, t, _ in emitted if t)
+    return out
