@@ -1,44 +1,360 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the unravel_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship interleaved-extraction pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (+ the training-data extensions); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible one. Column names match
+between the two exactly; float-bearing aggregates use exact integer cents
+/ micros so value hashes are engine-independent.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE import — nothing here calls
+ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: documents -> interleave -> extract."""
+    from unravel_ray.pipeline import run_flagship
+
+    ds = run_flagship("/root/testdata/sf0.001")
+    # project to scalar columns for a stable smoke-check schema
+    return ds.select_columns(
+        ["doc_id", "collection_id", "status", "provider", "n_spans", "n_chars"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _flagship_extract(sf_dir: str):
+    from unravel_ray.pipeline import run_flagship
+
+    return run_flagship(sf_dir).select_columns(
+        ["doc_id", "collection_id", "status", "provider", "n_spans", "n_chars"]
+    )
+
+
+def _flagship_rollup(sf_dir: str):
+    from unravel_ray.pipeline import build_rollup, run_flagship
+
+    return build_rollup(run_flagship(sf_dir))
+
+
+def _dedup_exact(sf_dir: str):
+    import ray.data
+
+    from unravel_ray.dedup import exact_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+def _minhash_pairs(sf_dir: str):
+    import ray.data
+
+    from unravel_ray.dedup import minhash_candidate_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_candidate_pairs(ds, threshold=0.5)
+
+
+def _simhash_pairs(sf_dir: str):
+    import ray.data
+
+    from unravel_ray.dedup import simhash_buckets
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_buckets(ds, max_hamming=6)
+
+
+def _embedding_neardup(sf_dir: str):
+    import ray.data
+
+    from unravel_ray.dedup import embedding_neardup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_neardup(ds, threshold=0.35).select_columns(["a", "b"])
+
+
+def _ann_topk(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from unravel_ray.ann import brute_force_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = {v: i for i, v in enumerate(t["vec_id"].to_pylist())}
+    queries_rows = sorted((v for v in order if v < 3))
+    queries = np.stack(
+        [np.asarray(t["embedding"][order[v]].as_py(), dtype=np.float64) for v in queries_rows]
+    )
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, queries, k=10)
+    return out.select(["query_idx", "rank", "vec_id"])
+
+
+def _lsh_topk(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from unravel_ray.ann import lsh_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"][:2].to_pylist()])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return lsh_topk(ds, q, k=5, n_bits=8)
+
+
+def _lang_distribution(sf_dir: str):
+    import ray.data
+
+    from unravel_ray.textstats import lang_distribution
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lang_distribution(ds)
+
+
+def _quality_scores(sf_dir: str):
+    import ray.data
+
+    from unravel_ray.textstats import QualityStage
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(QualityStage, batch_format="pyarrow", concurrency=2).select_columns(
+        ["doc_id", "n_words", "n_punct", "n_stopwords", "quality_score"]
+    )
+
+
+def _fingerprints(sf_dir: str):
+    import ray.data
+
+    from unravel_ray.textstats import fingerprints
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return fingerprints(ds)
+
+
+def _token_stats(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from unravel_ray.textstats import token_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    return (
+        token_counts(ds)
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_words", alias_name="total_words"),
+            Sum("n_tokens", alias_name="total_tokens"),
+        )
+    )
+
+
+def _image_decode(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from unravel_ray.multimodal import decode_images, synth_blobs
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    blobs = synth_blobs([str(d) for d in t["doc_id"].to_pylist()])
+    return decode_images(ray.data.from_arrow(blobs))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from unravel_ray import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship span pipeline (non-SQL; rows-only check + pytest oracle)
+        "flagship_extract": _flagship_extract,
+        "flagship_rollup": _flagship_rollup,
+        # relational / SQL-checkable operators (SURVEY.md §2 ids in docstrings)
+        "source_stats": R.source_stats,
+        "lineitem_pricing": R.lineitem_pricing,
+        "user_event_totals": R.user_event_totals,
+        "top_documents": R.top_documents,
+        "document_previews": R.document_previews,
+        "customers_by_region": R.customers_by_region,
+        "orders_by_segment": R.orders_by_segment,
+        "first_event_per_user": R.first_event_per_user,
+        "event_hourly_windows": R.event_hourly_windows,
+        "word_counts_by_lang": R.word_counts_by_lang,
+        "validation_accounting": R.validation_accounting,
+        "collection_rollup": R.collection_rollup,
+        # dedup family
+        "dedup_exact": _dedup_exact,
+        "minhash_pairs": _minhash_pairs,
+        "simhash_pairs": _simhash_pairs,
+        "embedding_neardup": _embedding_neardup,
+        # similarity search
+        "ann_topk": _ann_topk,
+        "lsh_topk": _lsh_topk,
+        # text analysis
+        "lang_distribution": _lang_distribution,
+        "quality_scores": _quality_scores,
+        "fingerprints": _fingerprints,
+        "token_stats": _token_stats,
+        # multimodal plumbing
+        "image_decode": _image_decode,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered per table)
+# ---------------------------------------------------------------------------
+
+_TOKEN_PATTERN = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "source_stats": """
+            SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY source
+        """,
+        "lineitem_pricing": """
+            WITH d AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+                     CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_bp
+              FROM lineitem)
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(qty) AS BIGINT) AS sum_qty,
+                   CAST(SUM(price_cents) AS BIGINT) AS sum_base_cents,
+                   CAST(SUM(price_cents * (100 - disc_bp)) AS BIGINT) AS sum_disc_cents100,
+                   COUNT(*) AS n_rows,
+                   CAST((CAST(SUM(qty) AS BIGINT) * 1000000) // COUNT(*) AS BIGINT) AS avg_qty_micros
+            FROM d GROUP BY l_returnflag, l_linestatus
+        """,
+        "user_event_totals": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY user_id
+        """,
+        "top_documents": """
+            SELECT doc_id, source, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        "document_previews": """
+            SELECT doc_id,
+                   CASE WHEN length(text) > 200 THEN substr(text, 1, 200) || '...'
+                        ELSE text END AS preview,
+                   n_chars
+            FROM documents
+        """,
+        "customers_by_region": """
+            SELECT r_name, COUNT(*) AS n_customers,
+                   CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "orders_by_segment": """
+            SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "first_event_per_user": """
+            SELECT user_id, event_id, event_type, ts FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+        """,
+        "event_hourly_windows": """
+            SELECT user_id, date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "word_counts_by_lang": r"""
+            WITH d AS (
+              SELECT lang, n_chars,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS words
+              FROM documents)
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(words) AS BIGINT) AS total_words,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(MIN(words) AS BIGINT) AS min_words,
+                   CAST(MAX(words) AS BIGINT) AS max_words
+            FROM d GROUP BY lang
+        """,
+        "validation_accounting": """
+            WITH derived AS (
+              SELECT CASE (CAST(substr(source, 4) AS INT) % 6)
+                       WHEN 0 THEN 'image/png' WHEN 1 THEN 'application/pdf'
+                       WHEN 2 THEN 'text/html' WHEN 3 THEN 'video/mp4'
+                       WHEN 4 THEN 'image/jpeg' ELSE 'audio/ogg' END AS mime,
+                     n_chars * 20000 AS fsize
+              FROM documents)
+            SELECT CASE WHEN mime IN ('video/mp4', 'audio/ogg') THEN 'invalid_mime'
+                        WHEN fsize > 10485760 THEN 'oversize'
+                        ELSE 'ok' END AS upload_status,
+                   COUNT(*) AS n_files
+            FROM derived GROUP BY 1
+        """,
+        "collection_rollup": """
+            WITH d AS (
+              SELECT doc_id // 8 AS collection_id,
+                     CAST(n_chars % 10 >= 3 AS BIGINT) AS completed,
+                     CAST(n_chars % 10 <= 1 AS BIGINT) AS failed,
+                     CAST(n_chars % 10 = 2 AS BIGINT) AS pending
+              FROM documents)
+            SELECT collection_id, COUNT(*) AS n_docs,
+                   CAST(SUM(completed) AS BIGINT) AS n_completed,
+                   CAST(SUM(failed) AS BIGINT) AS n_failed,
+                   CAST(SUM(pending) AS BIGINT) AS n_pending,
+                   CASE WHEN SUM(completed) = COUNT(*) THEN 'processed'
+                        WHEN SUM(completed) + SUM(failed) = COUNT(*) THEN 'failed_ocr'
+                        ELSE 'processing' END AS collection_status
+            FROM d GROUP BY collection_id
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id
+            FROM documents GROUP BY 1
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
+                 scored AS (
+                   SELECT q.qid, e.vec_id,
+                          row_number() OVER (
+                            PARTITION BY q.qid
+                            ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id
+                          ) AS rn
+                   FROM embeddings e CROSS JOIN q)
+            SELECT CAST(qid AS BIGINT) AS query_idx, CAST(rn - 1 AS BIGINT) AS rank,
+                   vec_id
+            FROM scored WHERE rn <= 10
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+        "token_stats": rf"""
+            WITH d AS (
+              SELECT lang,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS words,
+                     CAST(len(regexp_extract_all(text, '{_TOKEN_PATTERN}')) AS BIGINT) AS tokens
+              FROM documents)
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(words) AS BIGINT) AS total_words,
+                   CAST(SUM(tokens) AS BIGINT) AS total_tokens
+            FROM d GROUP BY lang
+        """,
+    }

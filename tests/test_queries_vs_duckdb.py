@@ -1,0 +1,102 @@
+"""Driver-contract rehearsal: every queries() entry runs at sf0.001, and
+every oracle_sql() entry matches it value-for-value via DuckDB (the same
+order-insensitive comparison the driver performs at sf0.01)."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return c
+
+
+@pytest.fixture(scope="module")
+def contract(ray_session):
+    import __ray_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+def test_all_queries_run_and_return_rows_or_empty(contract):
+    qs, _ = contract
+    for name, fn in qs.items():
+        df = _to_pandas(fn(SF_DIR))
+        assert df is not None, name
+        assert len(df.columns) > 0, name
+
+
+def test_oracle_keys_subset_of_queries(contract):
+    qs, sql = contract
+    assert set(sql) <= set(qs)
+
+
+@pytest.mark.parametrize("name", [
+    "source_stats", "lineitem_pricing", "user_event_totals", "top_documents",
+    "document_previews", "customers_by_region", "orders_by_segment",
+    "first_event_per_user", "event_hourly_windows", "word_counts_by_lang",
+    "validation_accounting", "collection_rollup", "dedup_exact", "ann_topk",
+    "embedding_neardup", "token_stats",
+])
+def test_query_matches_oracle(contract, con, name):
+    qs, sql = contract
+    got = _canon(_to_pandas(qs[name](SF_DIR)))
+    want = _canon(con.execute(sql[name]).fetchdf())
+    assert list(got.columns) == list(want.columns), (
+        f"{name} columns: {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name} rows: {len(got)} vs {len(want)}"
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if pd.api.types.is_float_dtype(a):
+            ok = ((a - b).abs() < 1e-9) | (a.isna() & b.isna())
+            assert ok.all(), f"{name}.{c}: first diff {a[~ok].head(3)} vs {b[~ok].head(3)}"
+        else:
+            eq = (a == b) | (a.isna() & b.isna())
+            assert eq.all(), f"{name}.{c}: first diff\n{a[~eq].head(3)}\nvs\n{b[~eq].head(3)}"
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    df = _to_pandas(ds)
+    assert len(df) >= 0
+    assert set(df.columns) == {
+        "doc_id", "collection_id", "status", "provider", "n_spans", "n_chars"
+    }

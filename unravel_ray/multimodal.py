@@ -1,0 +1,125 @@
+"""Multimodal column stages — image/audio decode, resize, feature extract,
+frame sample — as actor-pool map_batches over opaque ``binary`` columns.
+
+The decode kernels themselves are STUBBED (no PIL/ffmpeg in this
+container): `DecodeBackend.decode` raises NotImplementedError unless a
+real backend is importable, and `FakeDecodeBackend` produces
+deterministic synthetic pixels so the Ray-side plumbing — schema, batch
+sizing, actor signature, output layout — is real and tested.
+
+Reference analog: the OCR providers consume image bytes fetched from URLs
+(TesseractOcrProvider.java:197-205); here the bytes are a first-class
+Arrow binary column with typed metadata, the 100 TB-friendly layout
+(small batches, blobs never concatenated into Python lists).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+IMAGE_META_FIELDS = [
+    pa.field("width", pa.int32()),
+    pa.field("height", pa.int32()),
+    pa.field("format", pa.string()),
+]
+
+
+class DecodeBackend:
+    """Real decode backend gate. Swap in PIL/pyav on a production image."""
+
+    def __init__(self) -> None:
+        try:
+            from PIL import Image  # type: ignore  # noqa: F401
+
+            self.available = True
+        except ImportError:
+            self.available = False
+
+    def decode(self, blob: bytes) -> np.ndarray:
+        if not self.available:
+            raise NotImplementedError(
+                "no image codec in this environment; use FakeDecodeBackend"
+            )
+        raise NotImplementedError("wire PIL decode here")
+
+
+class FakeDecodeBackend(DecodeBackend):
+    """Deterministic fake: pixels derived from the blob hash; shape 32x32x3."""
+
+    def __init__(self) -> None:  # noqa: D107 — no real codec probe
+        self.available = True
+
+    def decode(self, blob: bytes) -> np.ndarray:
+        seed = int.from_bytes(hashlib.blake2b(blob or b"", digest_size=8).digest(), "big")
+        rng = np.random.RandomState(seed % (2**32))
+        return rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+
+
+class ImageDecodeStage:
+    """Actor-pool stage: binary blobs -> decoded pixel features.
+
+    Keep ``batch_size`` SMALL (large payloads; a batch x concurrency must
+    fit worker heap — SURVEY.md §4 memory note). Backend built once per
+    actor.
+    """
+
+    def __init__(self, backend: str = "fake", blob_col: str = "blob"):
+        self.backend = FakeDecodeBackend() if backend == "fake" else DecodeBackend()
+        self.blob_col = blob_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch[self.blob_col].to_pylist()
+        widths, heights, means = [], [], []
+        for b in blobs:
+            img = self.backend.decode(b)
+            heights.append(img.shape[0])
+            widths.append(img.shape[1])
+            means.append(round(float(img.mean()), 4))
+        return (
+            batch.drop_columns([self.blob_col])
+            .append_column("width", pa.array(widths, pa.int32()))
+            .append_column("height", pa.array(heights, pa.int32()))
+            .append_column("pixel_mean", pa.array(means, pa.float64()))
+        )
+
+
+class ImageResizeStage:
+    """Resize decoded tensors (fake: crops the deterministic tensor)."""
+
+    def __init__(self, size: tuple[int, int] = (16, 16), blob_col: str = "blob"):
+        self.size = size
+        self.backend = FakeDecodeBackend()
+        self.blob_col = blob_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch[self.blob_col].to_pylist()
+        out = []
+        h, w = self.size
+        for b in blobs:
+            img = self.backend.decode(b)[: h, : w]
+            out.append(img.reshape(-1).tolist())
+        return batch.append_column(
+            "pixels", pa.array(out, pa.list_(pa.uint8()))
+        )
+
+
+def decode_images(ds: Dataset, backend: str = "fake", blob_col: str = "blob",
+                  batch_size: int = 32, concurrency=2) -> Dataset:
+    """Image decode pipeline entry — small batches, actor pool."""
+    return ds.map_batches(
+        ImageDecodeStage,
+        fn_constructor_kwargs={"backend": backend, "blob_col": blob_col},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def synth_blobs(ids: list[str]) -> pa.Table:
+    """Deterministic fake binary payloads keyed by id (for tests/bench)."""
+    blobs = [hashlib.blake2b(f"blob:{i}".encode(), digest_size=32).digest() * 8 for i in ids]
+    return pa.table({"media_id": pa.array(ids, pa.string()),
+                     "blob": pa.array(blobs, pa.binary())})

@@ -1,0 +1,408 @@
+"""Relational operators over the driver testdata — the SQL-checkable surface.
+
+Each function takes ``sf_dir`` and returns a ``ray.data.Dataset`` (or small
+``pyarrow.Table``). Every query here has a matching DuckDB oracle in
+``__ray_entry__.oracle_sql()``; column names match exactly.
+
+Numeric-equality discipline: the driver value-hashes results, so float
+aggregates must be bit-reproducible across engines. Money/value columns are
+summed as integer cents (``round(x*100)`` per row is deterministic; integer
+sums are order-independent), and averages are computed as exact-integer
+ratios so both engines perform the identical single division.
+
+Scale notes per operator in docstrings. Reads always prune columns.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(batch: pa.Table, src: str, dst: str) -> pa.Table:
+    c = pc.cast(pc.round(pc.multiply(batch[src], pa.scalar(100.0))), pa.int64())
+    return batch.append_column(dst, c)
+
+
+# ---------------------------------------------------------------------------
+# G1/G7 — grouped counts & sums (documents by source)
+# ---------------------------------------------------------------------------
+
+def source_stats(sf_dir: str) -> Dataset:
+    """Per-source doc count + char total (G1 upload-size sum, G7 grouped KPIs;
+    reference DocumentUploadImpl.java:81-82, DashboardMetricsCacheService.java:98-124).
+
+    Scale: tiny shuffle — pre-aggregation happens inside Ray's tree
+    aggregate; only (source, partial) rows move.
+    """
+    return (
+        _pq(sf_dir, "documents", ["source", "n_chars"])
+        .groupby("source")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-Q1-style pricing summary (G2/G5/G8 aggregate showcase)
+# ---------------------------------------------------------------------------
+
+def lineitem_pricing(sf_dir: str) -> Dataset:
+    """Grouped pricing summary with exact integer cents.
+
+    Demonstrates partial aggregation before the shuffle: per-batch the rows
+    are reduced to int64 cents; the groupby moves only small partials.
+    """
+    ds = _pq(
+        sf_dir, "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(batch["l_quantity"]), pa.int64())
+        price_c = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc_bp = pc.cast(pc.round(pc.multiply(batch["l_discount"], pa.scalar(100.0))), pa.int64())
+        # disc_price_cents = price_cents * (100 - disc_basis_points) — exact ints
+        disc_price_c = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_bp))
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": qty,
+                "price_cents": price_c,
+                "disc_price_c100": disc_price_c,
+            }
+        )
+
+    agg = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_base_cents"),
+            Sum("disc_price_c100", alias_name="sum_disc_cents100"),
+            Count(alias_name="n_rows"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        # exact integer micro-average: (sum*1e6)//n — identical in any engine
+        avg_qty_micros = pc.divide(
+            pc.multiply(batch["sum_qty"], pa.scalar(1_000_000, pa.int64())),
+            batch["n_rows"],
+        )
+        return batch.append_column("avg_qty_micros", pc.cast(avg_qty_micros, pa.int64()))
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# G4 — per-user accounting (events)
+# ---------------------------------------------------------------------------
+
+def user_event_totals(sf_dir: str) -> Dataset:
+    """Per-user event count + value cents (G4 storage accounting analog,
+    DocumentUploadImpl.java:150-161)."""
+    ds = _pq(sf_dir, "events", ["user_id", "value"])
+    return (
+        ds.map_batches(lambda b: _cents(b, "value", "value_cents").drop_columns(["value"]),
+                       batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O2 — sort + pagination
+# ---------------------------------------------------------------------------
+
+def top_documents(sf_dir: str, k: int = 20) -> Dataset:
+    """Largest documents (O2 search sort + page,
+    DocumentSearchService.java:174-186). Deterministic tiebreak on doc_id.
+
+    Scale: Ray's sort is a distributed range-partition sort; limit(k)
+    short-circuits consumption.
+    """
+    return (
+        _pq(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# M15 — preview projection
+# ---------------------------------------------------------------------------
+
+def document_previews(sf_dir: str) -> Dataset:
+    """200-char preview + '...' suffix when truncated
+    (DocumentSearchService.java:38,188-209). Pure pyarrow kernels."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        longer = pc.greater(pc.utf8_length(text), 200)
+        prefix = pc.utf8_slice_codeunits(text, 0, 200)
+        preview = pc.if_else(
+            longer,
+            pc.binary_join_element_wise(prefix, pa.scalar("..."), ""),
+            text,
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "preview": preview, "n_chars": batch["n_chars"]}
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# J5 — broadcast dimension join (customer x nation x region)
+# ---------------------------------------------------------------------------
+
+def customers_by_region(sf_dir: str) -> Dataset:
+    """Region-level customer rollup via BROADCAST join — the dims (region,
+    nation) are read once on the driver, shipped via ray.put, and probed
+    inside map_batches. No shuffle join for small sides (J5 pattern,
+    OcrProcessingService.java:113-133 user-plan lookup).
+    """
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        names = pa.array(
+            [lookup.get(k) for k in batch["c_nationkey"].to_pylist()], pa.string()
+        )
+        b = _cents(batch, "c_acctbal", "acctbal_cents")
+        return b.append_column("r_name", names)
+
+    return (
+        _pq(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+        .map_batches(attach, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"), Sum("acctbal_cents", alias_name="acctbal_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — left join orders x customer, then segment rollup
+# ---------------------------------------------------------------------------
+
+def orders_by_segment(sf_dir: str) -> Dataset:
+    """Orders joined to customer market segment, rolled up per segment
+    (J1 files x ocr_data hash join, GetCollectionResultImpl.java:36-59).
+
+    The build side (customer) is broadcast as a dict — at 100 TB the
+    equivalent is a broadcast of the small dimension or an explicit
+    bucketed hash join; documented trade-off, see dedup.py for the
+    bucketed pattern.
+    """
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    seg_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        seg = ray.get(seg_ref)
+        segs = pa.array(
+            [seg.get(k, "UNKNOWN") for k in batch["o_custkey"].to_pylist()], pa.string()
+        )
+        b = _cents(batch, "o_totalprice", "price_cents")
+        return b.append_column("c_mktsegment", segs)
+
+    return (
+        _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(attach, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="price_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O3/D1 — first event per user
+# ---------------------------------------------------------------------------
+
+def first_event_per_user(sf_dir: str) -> Dataset:
+    """Per-user earliest event (first-match pick O3, ProcessOcr.java:62-65;
+    dedup-by-key D1). groupby + per-group head(1) after a stable sort.
+    """
+    ds = _pq(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+
+    def head1(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        return g.slice(0, 1)
+
+    return ds.groupby("user_id").map_groups(head1, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# §2.9 — tumbling-window aggregate over the events stream
+# ---------------------------------------------------------------------------
+
+def event_hourly_windows(sf_dir: str) -> Dataset:
+    """Per-(user, hour) tumbling-window event counts + value cents.
+
+    Ray Data has no watermarks; stream-shaped semantics are expressed as a
+    derived window column + groupby (ordering restored by the window key —
+    the Kafka-partition-ordering analog, OcrEventPublisher.java:24-27).
+    pc.floor_temporal is the vectorized window assigner.
+    """
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def windowize(batch: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(batch["ts"], unit="hour")
+        b = _cents(batch, "value", "value_cents")
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "window_start": win,
+                "value_cents": b["value_cents"],
+            }
+        )
+
+    return (
+        ds.map_batches(windowize, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# G6 — char/word counts
+# ---------------------------------------------------------------------------
+
+def word_counts_by_lang(sf_dir: str) -> Dataset:
+    """Word/char counts per doc aggregated per lang (G6,
+    OcrResult.java:76-88 getCharacterCount/getWordCount).
+
+    Word = whitespace-separated token (Java split("\\\\s+") semantics);
+    vectorized via pyarrow regex count: words = count(\\S+).
+    """
+    ds = _pq(sf_dir, "documents", ["lang", "text", "n_chars"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        words = pc.count_substring_regex(batch["text"], pattern=r"\S+")
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "words": pc.cast(words, pa.int64()),
+                "chars": batch["n_chars"],
+            }
+        )
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("words", alias_name="total_words"),
+            Sum("chars", alias_name="total_chars"),
+            Min("words", alias_name="min_words"),
+            Max("words", alias_name="max_words"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# M7/G3 — validation accounting over derived upload metadata
+# ---------------------------------------------------------------------------
+
+# deterministic source -> mime mapping (cycle of 6, two invalid)
+_MIME_CYCLE = (
+    "image/png", "application/pdf", "text/html",
+    "video/mp4", "image/jpeg", "audio/ogg",
+)
+_ALLOWED = {"image/png", "application/pdf", "text/html", "image/jpeg"}
+
+
+def validation_accounting(sf_dir: str) -> Dataset:
+    """Upload validation tally (M7 allowlist + G3 outcome counts;
+    ValidateFileCheck.java:10-23, DocumentUploadImpl.java:133-144).
+
+    MIME is derived deterministically from the source id (cycle of 6,
+    two disallowed) and size from n_chars*20000 (so some docs exceed the
+    10 MB cap); counts grouped by derived status.
+    """
+    ds = _pq(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        src_num = pc.cast(pc.utf8_slice_codeunits(batch["source"], 3, 99), pa.int64())
+        mime_idx = pc.cast(pc.subtract(src_num, pc.multiply(pc.divide(src_num, 6), 6)), pa.int32())
+        mimes = pa.array([_MIME_CYCLE[i] for i in mime_idx.to_pylist()], pa.string())
+        size = pc.multiply(batch["n_chars"], pa.scalar(20_000, pa.int64()))
+        mime_ok = pc.is_in(mimes, value_set=pa.array(sorted(_ALLOWED), pa.string()))
+        size_ok = pc.less_equal(size, pa.scalar(10 * 1024 * 1024))
+        status = pc.if_else(
+            pc.invert(mime_ok), pa.scalar("invalid_mime"),
+            pc.if_else(pc.invert(size_ok), pa.scalar("oversize"), pa.scalar("ok")),
+        )
+        return pa.table({"upload_status": status})
+
+    return ds.map_batches(derive, batch_format="pyarrow").groupby("upload_status").aggregate(
+        Count(alias_name="n_files")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G2 — collection rollup over the documents table (SQL-checkable variant)
+# ---------------------------------------------------------------------------
+
+def collection_rollup(sf_dir: str) -> Dataset:
+    """Collection status rollup (G2 truth table, ProcessOcr.java:185-217)
+    over deterministic per-doc statuses derived from the documents table:
+    collection = doc_id // 8; status: n_chars % 10 in {0,1} -> 'failed',
+    % 10 == 2 -> 'pending', else 'completed'.
+    """
+    ds = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        mod = pc.subtract(
+            batch["n_chars"], pc.multiply(pc.divide(batch["n_chars"], 10), 10)
+        )
+        completed = pc.cast(pc.greater_equal(mod, 3), pa.int64())
+        failed = pc.cast(pc.less_equal(mod, 1), pa.int64())
+        pending = pc.cast(pc.equal(mod, 2), pa.int64())
+        coll = pc.divide(batch["doc_id"], 8)
+        return pa.table(
+            {
+                "collection_id": coll,
+                "completed": completed,
+                "failed": failed,
+                "pending": pending,
+            }
+        )
+
+    agg = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("collection_id")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("completed", alias_name="n_completed"),
+            Sum("failed", alias_name="n_failed"),
+            Sum("pending", alias_name="n_pending"),
+        )
+    )
+
+    def decide(batch: pa.Table) -> pa.Table:
+        n, comp, fail = batch["n_docs"], batch["n_completed"], batch["n_failed"]
+        status = pc.if_else(
+            pc.equal(comp, n), pa.scalar("processed"),
+            pc.if_else(pc.equal(pc.add(comp, fail), n), pa.scalar("failed_ocr"),
+                       pa.scalar("processing")),
+        )
+        return batch.append_column("collection_status", status)
+
+    return agg.map_batches(decide, batch_format="pyarrow")
