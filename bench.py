@@ -1,0 +1,140 @@
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Plain run: one fresh Ray session at $RAY_GRAFT_CPUS (default 32), times
+each headline pipeline, prints ONE JSON line.
+
+--scaling: runs this script in two fresh subprocesses (num_cpus=8 then
+32) on the same input and reports both throughputs + scaling efficiency
+E = (T8/T32)/4 (1.0 = linear). Single-host CPUs are oversubscribed, so E
+is measured on the real pipelines (compute-dominated, IO-light); see
+BASELINE.md §C.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _headline_queries():
+    import __ray_entry__ as e
+
+    q = e.queries()
+    names = [
+        "flagship_extract",
+        "flagship_rollup",
+        "lineitem_pricing",
+        "user_event_totals",
+        "word_counts_by_lang",
+        "dedup_exact",
+        "minhash_pairs",
+        "ann_topk",
+        "event_hourly_windows",
+    ]
+    return {n: q[n] for n in names}
+
+
+def _consume(result) -> int:
+    """Consume a result fully (streamed), return row count."""
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        n = 0
+        for batch in result.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            n += batch.num_rows
+        return n
+    return len(result)
+
+
+def run_bench() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    # warm page cache (untimed) so we measure compute+shuffle, not cold disk
+    import pyarrow.parquet as pq
+
+    for t in ("documents", "lineitem", "events", "embeddings"):
+        pq.read_table(f"{sf_dir}/{t}.parquet")
+
+    timings: dict[str, float] = {}
+    n_docs = 0
+    for name, fn in _headline_queries().items():
+        t0 = time.perf_counter()
+        n = _consume(fn(sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+        if name == "flagship_extract":
+            n_docs = n
+
+    # the north-rule throughput metric: flagship extraction over the
+    # deterministic interleaved synth corpus (generated shard-locally)
+    from unravel_ray.config import PipelineConfig
+    from unravel_ray.pipeline import build_extraction
+    from unravel_ray.synth import corpus_dataset
+
+    synth_docs = int(os.environ.get("GRAFT_SYNTH_DOCS", "40000"))
+    cfg = PipelineConfig(ocr_concurrency=(2, max(2, num_cpus // 2)),
+                         reassemble_buckets=max(32, num_cpus * 4))
+    t0 = time.perf_counter()
+    n_synth = _consume(build_extraction(corpus_dataset(synth_docs), cfg))
+    t_synth = round(time.perf_counter() - t0, 3)
+    timings["flagship_synth"] = t_synth
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline pipeline wall time (sum of stages)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "flagship_docs": n_docs,
+        "flagship_docs_per_sec": round(n_docs / timings["flagship_extract"], 2)
+        if timings.get("flagship_extract") else None,
+        "synth_docs": n_synth,
+        "synth_docs_per_sec": round(n_synth / t_synth, 2),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        res = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency N->4N (single host, oversubscribed)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": r_lo.get("synth_docs_per_sec"),
+        "docs_per_sec_32": r_hi.get("synth_docs_per_sec"),
+        "scaling_efficiency": round(eff, 3),
+        "queries_8": r_lo["queries"],
+        "queries_32": r_hi["queries"],
+        "sf": r_lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -192,6 +192,21 @@ def make_corpus_range(start: int, stop: int, seed: int = SEED) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
 
 
+def corpus_dataset(n_docs: int, seed: int = SEED, block_size: int = 1000):
+    """Distributed deterministic corpus: each read task generates only its
+    id-shard (per-doc RNG is hash(seed, doc_id), so content is independent
+    of partitioning). Never materializes the corpus on the driver."""
+    import ray.data
+
+    ds = ray.data.range(n_docs, override_num_blocks=max(1, n_docs // block_size))
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = batch["id"].to_pylist()
+        return pa.Table.from_pylist([_doc(seed, int(i)) for i in ids], schema=DOCS_SCHEMA)
+
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # bridge: driver testdata documents table -> interleaved docs
 # ---------------------------------------------------------------------------
