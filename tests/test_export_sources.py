@@ -1,0 +1,66 @@
+"""Export rendering (S9/M9 consumer) + sinks/set-ops (S7, D3, D4, J3)."""
+
+import pyarrow as pa
+
+import ray.data
+
+from unravel_ray.export import export_documents, render_spans
+from unravel_ray.sources import (
+    apply_tombstones,
+    move_documents,
+    point_lookup,
+    search_projection,
+)
+
+SPANS = [
+    {"kind": "heading", "text": "Title", "media_ref": None, "offset": 0},
+    {"kind": "text", "text": "Para.", "media_ref": None, "offset": 1},
+    {"kind": "list_item", "text": "item", "media_ref": None, "offset": 2},
+]
+
+
+def _extracted_ds():
+    rows = [
+        {"doc_id": "d1", "collection_id": "c1", "spans": SPANS, "status": "completed",
+         "error_message": None, "provider": "direct", "n_spans": 3, "n_chars": 15},
+        {"doc_id": "d2", "collection_id": "c2", "spans": [], "status": "failed",
+         "error_message": "boom", "provider": "fake", "n_spans": 0, "n_chars": 0},
+    ]
+    from unravel_ray.schema import EXTRACTED_SCHEMA
+
+    return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=EXTRACTED_SCHEMA))
+
+
+def test_render_spans_order_and_formats():
+    shuffled = [SPANS[2], SPANS[0], SPANS[1]]
+    assert render_spans(shuffled) == "Title\nPara.\nitem"
+    assert render_spans(shuffled, "markdown") == "# Title\n\nPara.\n\n- item"
+
+
+def test_export_documents_gates_on_completed(ray_session):
+    out = {r["doc_id"]: r for r in export_documents(_extracted_ds()).take_all()}
+    assert out["d1"]["content"] == "Title\nPara.\nitem"
+    assert out["d1"]["file_name"] == "d1.docx"
+    assert out["d2"]["content"] == ""
+    assert out["d2"]["status"] == "failed"
+
+
+def test_search_projection_preview(ray_session):
+    rows = {r["doc_id"]: r for r in search_projection(_extracted_ds()).take_all()}
+    assert rows["d1"]["preview"] == "Title\nPara.\nitem"
+    assert rows["d1"]["status"] == "completed"
+    assert set(rows) == {"d1", "d2"}
+
+
+def test_tombstones_and_move(ray_session):
+    ds = _extracted_ds()
+    kept = apply_tombstones(ds, {"c2"}).take_all()
+    assert [r["doc_id"] for r in kept] == ["d1"]
+    moved = {r["doc_id"]: r["collection_id"]
+             for r in move_documents(ds, {"d1": "c9"}).take_all()}
+    assert moved == {"d1": "c9", "d2": "c2"}
+
+
+def test_point_lookup(ray_session):
+    rows = point_lookup(_extracted_ds(), "d2")
+    assert len(rows) == 1 and rows[0]["status"] == "failed"

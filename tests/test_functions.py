@@ -1,0 +1,91 @@
+"""Scalar functions (M11-M18, M6) — reference-semantics pins."""
+
+import pyarrow as pa
+import pytest
+
+from unravel_ray.functions import (
+    aes_gcm_decrypt,
+    aes_gcm_encrypt,
+    derive_iv,
+    docx_filename,
+    is_pdf,
+    is_pdf_column,
+    parse_llm_json,
+    sanitize_log,
+    sanitize_log_column,
+    split_tags,
+    storage_key,
+    truncate_text,
+)
+
+
+def test_truncate():
+    assert truncate_text("abcdef", 3) == "abc"
+    assert truncate_text("ab", 5) == "ab"
+    assert truncate_text(None, 5) is None
+
+
+def test_parse_llm_json_fenced():
+    raw = '```json\n{"document_type": "invoice", "tags": ["a","b"], "confidence": 0.9}\n```'
+    assert parse_llm_json(raw) == {
+        "document_type": "invoice", "tags": ["a", "b"], "confidence": 0.9
+    }
+
+
+def test_parse_llm_json_defaults_on_garbage():
+    for bad in (None, "", "not json", "```\n{broken\n```", "[1,2]"):
+        assert parse_llm_json(bad) == {
+            "document_type": "other", "tags": ["unclassified"], "confidence": 0.0
+        }
+
+
+def test_sanitize_log():
+    assert sanitize_log("a b/c<script>") == "a_b_c_script"
+    assert sanitize_log("__x__") == "x"
+    assert sanitize_log(None) == ""
+    col = sanitize_log_column(pa.array(["a b/c", "ok-name.txt"]))
+    assert col.to_pylist() == ["a_b_c", "ok-name.txt"]
+
+
+def test_split_tags():
+    assert split_tags("a, b ,, c ") == ["a", "b", "c"]
+    assert split_tags("   ") == []
+    assert split_tags(None) == []
+
+
+def test_storage_key_deterministic_and_sanitized():
+    k1 = storage_key("uploads", "my file (1).png", "doc-1")
+    k2 = storage_key("uploads", "my file (1).png", "doc-1")
+    assert k1 == k2
+    assert k1.startswith("uploads/")
+    assert k1.endswith(".png")
+    assert "(" not in k1 and " " not in k1
+    assert k1 != storage_key("uploads", "my file (1).png", "doc-2")
+
+
+def test_docx_filename():
+    assert docx_filename("scan.pdf") == "scan.docx"
+    assert docx_filename("a.b.c.png") == "a.b.c.docx"
+    assert docx_filename("noext") == "noext.docx"
+
+
+def test_aes_gcm_roundtrip():
+    key = bytes(range(32))
+    iv = derive_iv("doc-1")
+    ct, iv_b64 = aes_gcm_encrypt(b"secret payload", key, iv)
+    assert ct != b"secret payload"
+    assert aes_gcm_decrypt(ct, key, iv_b64) == b"secret payload"
+    with pytest.raises(Exception):
+        aes_gcm_decrypt(ct, bytes(32), iv_b64)
+
+
+def test_is_pdf():
+    assert is_pdf("application/pdf", None)
+    assert is_pdf("APPLICATION/PDF", None)
+    assert is_pdf(None, "https://x/y/report.PDF?sig=1")
+    assert not is_pdf("image/png", "https://x/y/img.png")
+    col = is_pdf_column(
+        pa.array(["application/pdf", "image/png", None]),
+        pa.array([None, "a/b.pdf?x=1", "c.txt"]),
+    )
+    assert col.to_pylist() == [True, True, False]

