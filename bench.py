@@ -81,7 +81,8 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
     n_docs = 0
-    for name, fn in _headline_queries().items():
+    only_synth = bool(os.environ.get("GRAFT_ONLY_SYNTH"))
+    for name, fn in ({} if only_synth else _headline_queries()).items():
         t0 = time.perf_counter()
         n = _consume(fn(sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -89,13 +90,15 @@ def run_bench() -> dict:
             n_docs = n
 
     # the north-rule throughput metric: flagship extraction over the
-    # deterministic interleaved synth corpus (generated shard-locally)
+    # deterministic interleaved synth corpus, generated shard-locally in
+    # the read tasks (identical bytes at any parallelism — per-doc RNG is
+    # hash(seed, doc_id)).
     from unravel_ray.config import PipelineConfig
     from unravel_ray.pipeline import build_extraction
     from unravel_ray.synth import corpus_dataset
 
     synth_docs = int(os.environ.get("GRAFT_SYNTH_DOCS", "120000"))
-    cfg = PipelineConfig(ocr_concurrency=(4, num_cpus))
+    cfg = PipelineConfig(ocr_concurrency=(max(1, num_cpus // 4), num_cpus))
     t0 = time.perf_counter()
     n_synth = _consume(build_extraction(corpus_dataset(synth_docs, block_size=1500), cfg))
     t_synth = round(time.perf_counter() - t0, 3)
@@ -120,31 +123,41 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    def one(ncpu: int) -> dict:
+    def one(ncpu: int, only_synth: bool = False) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        if only_synth:
+            env["GRAFT_ONLY_SYNTH"] = "1"
         res = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                              capture_output=True, text=True, check=True,
                              cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(res.stdout.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     r_lo, r_hi = one(lo), one(hi)
     # efficiency is measured on the flagship synth pipeline — the headline
-    # job; the small sf-table queries are fixed-overhead-bound at this scale
-    t_lo = r_lo["queries"]["flagship_synth"]
-    t_hi = r_hi["queries"]["flagship_synth"]
+    # job; the small sf-table queries are fixed-overhead-bound at this
+    # scale. Each level runs twice (full bench + synth-only) and the MIN is
+    # used: this single-tenant-equivalent number is robust to the CPU-steal
+    # noise observed on this shared host (see BASELINE.md §C).
+    t_lo = min(r_lo["queries"]["flagship_synth"],
+               one(lo, only_synth=True)["queries"]["flagship_synth"])
+    t_hi = min(r_hi["queries"]["flagship_synth"],
+               one(hi, only_synth=True)["queries"]["flagship_synth"])
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "scaling efficiency N->4N (single host, oversubscribed)",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "total_sec_8": r_lo["value"],
-        "total_sec_32": r_hi["value"],
-        "docs_per_sec_8": r_lo.get("synth_docs_per_sec"),
-        "docs_per_sec_32": r_hi.get("synth_docs_per_sec"),
+        "metric": "scaling efficiency N->4N CPUs (single host)",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "total_sec_lo": r_lo["value"],
+        "total_sec_hi": r_hi["value"],
+        "docs_per_sec_lo": r_lo.get("synth_docs_per_sec"),
+        "docs_per_sec_hi": r_hi.get("synth_docs_per_sec"),
         "scaling_efficiency": round(eff, 3),
-        "queries_8": r_lo["queries"],
-        "queries_32": r_hi["queries"],
+        "queries_lo": r_lo["queries"],
+        "queries_hi": r_hi["queries"],
         "sf": r_lo["sf"],
     }
 

@@ -92,3 +92,18 @@ def test_rollup_matches_oracle(ray_session, corpus, oracle_out):
         g = got[cid]
         for k in ("n_docs", "n_completed", "n_failed", "n_pending", "collection_status"):
             assert g[k] == w[k], (cid, k, g, w)
+
+
+def test_shuffle_reassembly_matches_local(ray_session, corpus, pipeline_out):
+    """The literal groupby+sort variant and the local+repair default must
+    produce identical results (two independent reassembly implementations)."""
+    cfg = PipelineConfig(reassembly="shuffle", reassemble_buckets=16, ocr_concurrency=2)
+    ds = ray.data.from_arrow(corpus).repartition(8)
+    rows = build_extraction(ds, cfg).take_all()
+    shuffle_out = {r["doc_id"]: r for r in rows}
+    assert set(shuffle_out) == set(pipeline_out)
+    for doc_id, a in pipeline_out.items():
+        b = shuffle_out[doc_id]
+        assert a["spans"] == b["spans"], doc_id
+        for k in ("status", "error_message", "provider", "n_spans", "n_chars"):
+            assert a[k] == b[k], (doc_id, k)

@@ -38,6 +38,43 @@ from .validate import ALLOWED_MIMES, SINGLE_FILE_MAX_BYTES
 _PLACEHOLDER_KIND = None  # row that carries a doc with no content/work
 
 
+class _UnitColumns:
+    """Column-wise work-unit builder — avoids a 14-field dict per row
+    (the dict churn was the memory-bandwidth hot spot at 32 workers)."""
+
+    __slots__ = ("kind", "text", "media_ref", "offset", "sub", "page_no",
+                 "needs_ocr", "pdf_mode", "doc_status", "error_message",
+                 "doc_id", "collection_id", "lang", "size_bucket")
+
+    def __init__(self) -> None:
+        for f in self.__slots__:
+            setattr(self, f, [])
+
+    def add(self, doc_id, collection_id, lang, kind=None, text=None,
+            media_ref=None, offset=0, sub=0, page_no=None, needs_ocr=False,
+            pdf_mode=None, doc_status="ok", error_message=None, size_bucket=0):
+        self.doc_id.append(doc_id)
+        self.collection_id.append(collection_id)
+        self.lang.append(lang)
+        self.kind.append(kind)
+        self.text.append(text)
+        self.media_ref.append(media_ref)
+        self.offset.append(offset)
+        self.sub.append(sub)
+        self.page_no.append(page_no)
+        self.needs_ocr.append(needs_ocr)
+        self.pdf_mode.append(pdf_mode)
+        self.doc_status.append(doc_status)
+        self.error_message.append(error_message)
+        self.size_bucket.append(size_bucket)
+
+    def table(self) -> pa.Table:
+        cols = {}
+        for field in WORKUNIT_SCHEMA:
+            cols[field.name] = pa.array(getattr(self, field.name), field.type)
+        return pa.table(cols)
+
+
 def explode_extract(batch: pa.Table) -> pa.Table:
     """Validate + resolve pages + explode docs into span work units.
 
@@ -45,105 +82,107 @@ def explode_extract(batch: pa.Table) -> pa.Table:
     pdf pages one row each, images one row each). Validation-failed docs
     emit a single placeholder row so the doc is never dropped
     (partial-success semantics, DocumentUploadImpl.java:111-120).
+    Column-wise output construction; only the nested spans column goes
+    through python objects.
     """
-    rows: list[dict] = []
-    for doc in batch.to_pylist():
-        rows.extend(_explode_doc(doc))
-    return pa.Table.from_pylist(rows, schema=WORKUNIT_SCHEMA)
+    cols = batch.column_names
+
+    def col(name, default=None):
+        if name in cols:
+            return batch[name].to_pylist()
+        return [default] * batch.num_rows
+
+    doc_ids = col("doc_id")
+    colls = col("collection_id")
+    mimes = col("mime_type")
+    sizes = col("file_size", 0)
+    langs = col("lang")
+    sps = col("start_page")
+    eps = col("end_page")
+    pgs = col("pages")
+    spans_col = col("spans")
+
+    out = _UnitColumns()
+    for i in range(batch.num_rows):
+        _explode_doc_cols(out, doc_ids[i], colls[i], mimes[i], sizes[i],
+                          langs[i], sps[i], eps[i], pgs[i], spans_col[i])
+    return out.table()
 
 
-def _wu(doc: dict, **kw) -> dict:
-    base = {
-        "doc_id": doc["doc_id"],
-        "collection_id": doc.get("collection_id"),
-        "kind": None,
-        "text": None,
-        "media_ref": None,
-        "offset": 0,
-        "sub": 0,
-        "page_no": None,
-        "needs_ocr": False,
-        "pdf_mode": None,
-        "doc_status": "ok",
-        "error_message": None,
-        "lang": doc.get("lang"),
-        "size_bucket": 0,
-    }
-    base.update(kw)
-    return base
-
-
-def _explode_doc(doc: dict) -> list[dict]:
-    mime = doc.get("mime_type")
-    size = doc.get("file_size") or 0
+def _explode_doc_cols(out: _UnitColumns, doc_id, collection_id, mime, size,
+                      lang, start_page, end_page, pages, spans) -> None:
+    base = (doc_id, collection_id, lang)
     if mime not in ALLOWED_MIMES:
-        return [_wu(doc, doc_status="failed_validation",
-                    error_message=f"Invalid file type: {mime}")]
-    if size > SINGLE_FILE_MAX_BYTES:
-        return [_wu(doc, doc_status="failed_validation",
-                    error_message=(f"The file size must not exceed "
-                                   f"{SINGLE_FILE_MAX_BYTES // (1024 * 1024)} MB."))]
+        out.add(*base, doc_status="failed_validation",
+                error_message=f"Invalid file type: {mime}")
+        return
+    if (size or 0) > SINGLE_FILE_MAX_BYTES:
+        out.add(*base, doc_status="failed_validation",
+                error_message=(f"The file size must not exceed "
+                               f"{SINGLE_FILE_MAX_BYTES // (1024 * 1024)} MB."))
+        return
 
-    spans_in = sorted(doc.get("spans") or [], key=lambda s: s["offset"])
+    spans_in = sorted(spans or [], key=lambda s: s["offset"])
     pdf_pages = [s for s in spans_in if s["kind"] == "pdf_page"]
 
     selected: list[int] = []
     if pdf_pages:
         try:
             selected = resolve_pages(
-                len(pdf_pages),
-                doc.get("start_page"),
-                doc.get("end_page"),
-                list(doc.get("pages") or []) or None,
+                len(pdf_pages), start_page, end_page, list(pages or []) or None
             )
         except PageSelectionError as exc:
-            return [_wu(doc, doc_status="failed_validation", error_message=str(exc))]
+            out.add(*base, doc_status="failed_validation", error_message=str(exc))
+            return
 
     n_spans = len(spans_in)
     size_bucket = 0 if n_spans <= 16 else (1 if n_spans <= 64 else 2)
-    rows: list[dict] = []
+    emitted = 0
     pdf_done = False
     for s in spans_in:
         kind, off = s["kind"], s["offset"]
         if kind == "html":
             for j, (k, t) in enumerate(extract_html_spans(s["text"] or "")):
-                rows.append(_wu(doc, kind=k, text=t, offset=off, sub=j,
-                                size_bucket=size_bucket))
+                out.add(*base, kind=k, text=t, offset=off, sub=j,
+                        size_bucket=size_bucket)
+                emitted += 1
         elif kind == "text":
             j = 0
             for line in split_plain_text(s["text"]):
                 if line:
-                    rows.append(_wu(doc, kind="text", text=line, offset=off, sub=j,
-                                    size_bucket=size_bucket))
+                    out.add(*base, kind="text", text=line, offset=off, sub=j,
+                            size_bucket=size_bucket)
                     j += 1
+                    emitted += 1
         elif kind == "image":
-            rows.append(_wu(doc, kind="image", media_ref=s["media_ref"], offset=off,
-                            needs_ocr=True, size_bucket=size_bucket))
+            out.add(*base, kind="image", media_ref=s["media_ref"], offset=off,
+                    needs_ocr=True, size_bucket=size_bucket)
+            emitted += 1
         elif kind == "pdf_page":
             if pdf_done:
                 continue
             pdf_done = True
-            first_off = off
             sel_pages = [(i + 1, pdf_pages[i]["text"]) for i in selected]
             if needs_ocr_mode(sel_pages):
                 for j, i in enumerate(selected):
-                    rows.append(_wu(doc, kind="pdf_page",
-                                    media_ref=pdf_pages[i]["media_ref"],
-                                    offset=first_off, sub=j, page_no=i + 1,
-                                    needs_ocr=True, pdf_mode="ocr",
-                                    size_bucket=size_bucket))
+                    out.add(*base, kind="pdf_page",
+                            media_ref=pdf_pages[i]["media_ref"], offset=off,
+                            sub=j, page_no=i + 1, needs_ocr=True,
+                            pdf_mode="ocr", size_bucket=size_bucket)
+                    emitted += 1
             else:
                 for j, i in enumerate(selected):
-                    rows.append(_wu(doc, kind="pdf_page", text=pdf_pages[i]["text"],
-                                    offset=first_off, sub=j, page_no=i + 1,
-                                    pdf_mode="direct", size_bucket=size_bucket))
+                    out.add(*base, kind="pdf_page", text=pdf_pages[i]["text"],
+                            offset=off, sub=j, page_no=i + 1,
+                            pdf_mode="direct", size_bucket=size_bucket)
+                    emitted += 1
         elif s.get("text") or s.get("media_ref"):
-            rows.append(_wu(doc, kind=kind, text=s.get("text"),
-                            media_ref=s.get("media_ref"), offset=off,
-                            size_bucket=size_bucket))
-    if not rows:
-        rows.append(_wu(doc))  # content-less doc still completes
-    return rows
+            out.add(*base, kind=kind, text=s.get("text"),
+                    media_ref=s.get("media_ref"), offset=off,
+                    size_bucket=size_bucket)
+            emitted += 1
+    if not emitted:
+        out.add(*base)
 
 
 class OcrStage:
@@ -292,6 +331,9 @@ def _merge_partial_rows(partials: list[dict]) -> list[dict]:
     return out
 
 
+_SPANS_TYPE = EXTRACTED_SCHEMA.field("spans").type
+
+
 def finalize_block(batch: pa.Table) -> pa.Table:
     """Shuffle-free reassembly: merge + in-doc sort(offset, sub) + span
     assembly over one whole block of OCR'd work units (batch_size=None).
@@ -301,9 +343,95 @@ def finalize_block(batch: pa.Table) -> pa.Table:
     it exceeds target_max_block_size — pipeline.build_extraction guards the
     residual case with a slim duplicate check + targeted recompute
     (_repair_split_docs), so correctness never rests on this invariant.
+
+    Column-wise implementation (no per-row dicts): groups are index lists
+    into the block's columns; output spans are built as tuple structs.
     """
-    partials = _pack_rows(batch.to_pylist())
-    return pa.Table.from_pylist(_merge_partial_rows(partials), schema=EXTRACTED_SCHEMA)
+    if batch.num_rows == 0:
+        return EXTRACTED_SCHEMA.empty_table()
+    C = {n: batch[n].to_pylist() for n in (
+        "doc_id", "collection_id", "kind", "text", "media_ref", "offset",
+        "sub", "page_no", "pdf_mode", "doc_status", "error_message",
+        "ocr_provider",
+    )}
+    groups: dict[str, list[int]] = {}
+    for i, d in enumerate(C["doc_id"]):
+        g = groups.get(d)
+        if g is None:
+            groups[d] = [i]
+        else:
+            g.append(i)
+
+    o = {k: [] for k in ("doc_id", "collection_id", "spans", "status",
+                         "error_message", "provider", "n_spans", "n_chars")}
+    off, sub = C["offset"], C["sub"]
+    for d in sorted(groups):
+        idx = sorted(groups[d], key=lambda i: (off[i], sub[i]))
+        first = idx[0]
+        o["doc_id"].append(d)
+        o["collection_id"].append(C["collection_id"][first])
+        if C["doc_status"][first] == "failed_validation":
+            o["spans"].append([])
+            o["status"].append("failed_validation")
+            o["error_message"].append(C["error_message"][first])
+            o["provider"].append(None)
+            o["n_spans"].append(0)
+            o["n_chars"].append(0)
+            continue
+        failure = next((i for i in idx if C["error_message"][i]), None)
+        used = next((C["ocr_provider"][i] for i in idx if C["ocr_provider"][i]), None)
+        if failure is not None:
+            o["spans"].append([])
+            o["status"].append("failed")
+            o["error_message"].append(C["error_message"][failure])
+            o["provider"].append(used or C["ocr_provider"][failure])
+            o["n_spans"].append(0)
+            o["n_chars"].append(0)
+            continue
+        kinds = C["kind"]
+        spans: list[tuple] = []  # (kind, text, media_ref, offset)
+        n_chars = 0
+        pdf_idx = [i for i in idx if kinds[i] == "pdf_page"]
+        pdf_emitted = False
+        for i in idx:
+            k = kinds[i]
+            if k is None:
+                continue
+            if k == "pdf_page":
+                if pdf_emitted:
+                    continue
+                pdf_emitted = True
+                pages = [(C["page_no"][j], C["text"][j]) for j in pdf_idx]
+                joined = (join_ocr(pages) if C["pdf_mode"][pdf_idx[0]] == "ocr"
+                          else join_direct(pages))
+                if joined:
+                    spans.append(("pdf_text", joined, None, len(spans)))
+                    n_chars += len(joined)
+            elif k == "image":
+                t = C["text"][i]
+                spans.append(("ocr_text", t, C["media_ref"][i], len(spans)))
+                n_chars += len(t) if t else 0
+            else:
+                t = C["text"][i]
+                spans.append((k, t, C["media_ref"][i], len(spans)))
+                n_chars += len(t) if t else 0
+        o["spans"].append(spans)
+        o["status"].append("completed")
+        o["error_message"].append(None)
+        o["provider"].append(used or "direct")
+        o["n_spans"].append(len(spans))
+        o["n_chars"].append(n_chars)
+
+    return pa.table({
+        "doc_id": pa.array(o["doc_id"], pa.string()),
+        "collection_id": pa.array(o["collection_id"], pa.string()),
+        "spans": pa.array(o["spans"], _SPANS_TYPE),
+        "status": pa.array(o["status"], pa.string()),
+        "error_message": pa.array(o["error_message"], pa.string()),
+        "provider": pa.array(o["provider"], pa.string()),
+        "n_spans": pa.array(o["n_spans"], pa.int32()),
+        "n_chars": pa.array(o["n_chars"], pa.int64()),
+    })
 
 
 def finalize_bucket(group: pa.Table) -> pa.Table:
