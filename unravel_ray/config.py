@@ -24,6 +24,9 @@ class PipelineConfig:
                                         # whale PDFs spread across the pool
     ocr_concurrency: tuple[int, int] | int = (2, 8)
     ocr_num_cpus: float = 1.0           # Tesseract is CPU-bound => 1 CPU/actor
+    ocr_compute: str = "auto"           # "auto": actor pool iff a provider in
+                                        # the chain requires warm engine state,
+                                        # else worker-cached tasks
     reassemble_buckets: int = 64        # coarse shuffle key: hash(doc_id)%B —
                                         # B group calls instead of one per doc
     reassembly: str = "local"           # "local" (block-merge + slim verify +

@@ -32,12 +32,42 @@ from .stages import (
     explode_extract,
     finalize_block,
     finalize_bucket,
+    ocr_task,
     pack_partials,
 )
 from .synth import interleave_documents_batch
 
 
 def _ocr_stage(units: Dataset, cfg: PipelineConfig) -> Dataset:
+    """OCR stage scheduling (A1/A2):
+
+    * providers holding heavyweight warm engines -> dedicated ACTOR POOL
+      (state in __init__, cfg.ocr_concurrency x cfg.ocr_num_cpus);
+    * provider chains that declare requires_warm_state=False -> task-based
+      with a per-worker-process registry cache (same warm-state guarantee,
+      no pool spin-up/autoscale ramp, fuses with neighboring task stages).
+    cfg.ocr_compute: "auto" (above) | "actors" | "tasks".
+    """
+    mode = cfg.ocr_compute
+    if mode == "auto":
+        from .providers import _PROVIDER_CLASSES
+
+        chain = dict.fromkeys((cfg.preferred_provider, *cfg.fallback_chain))
+        warm = any(
+            getattr(_PROVIDER_CLASSES.get(n), "requires_warm_state", True)
+            for n in chain
+        )
+        mode = "actors" if warm else "tasks"
+    if mode == "tasks":
+        return units.map_batches(
+            ocr_task,
+            fn_kwargs={
+                "preferred": cfg.preferred_provider,
+                "fallback_chain": tuple(cfg.fallback_chain),
+            },
+            batch_format="pyarrow",
+            batch_size=cfg.ocr_batch_size,
+        )
     return units.map_batches(
         OcrStage,
         fn_constructor_kwargs={

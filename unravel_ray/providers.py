@@ -50,6 +50,10 @@ class OcrProvider:
 
     name = "base"
     max_file_size_bytes = 10 * 1024 * 1024  # OcrProperties.java:44-47
+    # True => the provider holds a heavyweight warm engine/client and the
+    # pipeline schedules it on a dedicated actor pool; False => worker-cached
+    # task execution suffices (see stages.ocr_task).
+    requires_warm_state = True
 
     def is_available(self) -> bool:
         return True
@@ -81,6 +85,7 @@ class FakeOcrProvider(OcrProvider):
     """
 
     name = "fake"
+    requires_warm_state = False  # pure hashing; no engine to warm
 
     def extract(self, media_ref: str, language: str | None = None) -> str:
         if media_ref is None or POISON_MARKER in media_ref:

@@ -185,6 +185,58 @@ def _explode_doc_cols(out: _UnitColumns, doc_id, collection_id, mime, size,
         out.add(*base)
 
 
+def apply_ocr(batch: pa.Table, registry: ProviderRegistry) -> pa.Table:
+    """Fill OCR'd text for rows with needs_ocr=True; failure-as-result."""
+    needs = batch["needs_ocr"].to_numpy(zero_copy_only=False)
+    idx = np.flatnonzero(needs)
+    provider_col = np.full(batch.num_rows, None, dtype=object)
+    if idx.size == 0:
+        return batch.append_column("ocr_provider", pa.array(provider_col, pa.string()))
+
+    media = batch["media_ref"].to_pylist()
+    langs = batch["lang"].to_pylist()
+    text = batch["text"].to_pylist()
+    errors = batch["error_message"].to_pylist()
+    lang = langs[idx[0]] if idx.size else None
+    outputs, names = registry.extract_batch([media[i] for i in idx], lang)
+    for j, i in enumerate(idx):
+        o = outputs[j]
+        provider_col[i] = names[j]
+        if o.success:
+            text[i] = o.text
+        else:
+            errors[i] = o.error_message
+    batch = batch.set_column(
+        batch.column_names.index("text"), "text", pa.array(text, pa.string())
+    )
+    batch = batch.set_column(
+        batch.column_names.index("error_message"), "error_message",
+        pa.array(errors, pa.string()),
+    )
+    return batch.append_column("ocr_provider", pa.array(provider_col, pa.string()))
+
+
+_REGISTRY_CACHE: dict[tuple, ProviderRegistry] = {}
+
+
+def ocr_task(batch: pa.Table, preferred: str, fallback_chain: tuple[str, ...]) -> pa.Table:
+    """Task-based OCR with per-WORKER-PROCESS cached registry.
+
+    Ray reuses worker processes across tasks, so the registry (engine
+    handles) is still built once per worker — same warm-state guarantee as
+    the actor pool without pool spin-up/autoscale ramp, and the stage fuses
+    with its task-based neighbors into one pass per block. Used when every
+    provider in the chain declares requires_warm_state=False; providers
+    holding heavyweight engines (Tesseract, Vision RPC channels) keep the
+    dedicated actor pool (OcrStage).
+    """
+    key = (preferred, tuple(fallback_chain))
+    reg = _REGISTRY_CACHE.get(key)
+    if reg is None:
+        reg = _REGISTRY_CACHE[key] = ProviderRegistry(preferred, fallback_chain)
+    return apply_ocr(batch, reg)
+
+
 class OcrStage:
     """Actor-pool OCR stage (A1/A2, SURVEY.md §2.3).
 
@@ -201,33 +253,7 @@ class OcrStage:
         self.registry = ProviderRegistry(preferred, fallback_chain)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        needs = batch["needs_ocr"].to_numpy(zero_copy_only=False)
-        idx = np.flatnonzero(needs)
-        provider_col = np.full(batch.num_rows, None, dtype=object)
-        if idx.size == 0:
-            return batch.append_column("ocr_provider", pa.array(provider_col, pa.string()))
-
-        media = batch["media_ref"].to_pylist()
-        langs = batch["lang"].to_pylist()
-        text = batch["text"].to_pylist()
-        errors = batch["error_message"].to_pylist()
-        lang = langs[idx[0]] if idx.size else None
-        outputs, names = self.registry.extract_batch([media[i] for i in idx], lang)
-        for j, i in enumerate(idx):
-            o = outputs[j]
-            provider_col[i] = names[j]
-            if o.success:
-                text[i] = o.text
-            else:
-                errors[i] = o.error_message
-        batch = batch.set_column(
-            batch.column_names.index("text"), "text", pa.array(text, pa.string())
-        )
-        batch = batch.set_column(
-            batch.column_names.index("error_message"), "error_message",
-            pa.array(errors, pa.string()),
-        )
-        return batch.append_column("ocr_provider", pa.array(provider_col, pa.string()))
+        return apply_ocr(batch, self.registry)
 
 
 def add_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
