@@ -4,20 +4,21 @@ Stage graph (pipeline.py composes these):
 
     docs ──map_batches──> explode_extract   (stateless: validate + page
          │                 resolution + per-doc explode to span work units,
-         │                 html/text expansion inline)
-         ├─map_batches──> OcrStage          (ACTOR POOL: warm provider
-         │                 registry per actor; fills OCR'd text)
-         ├─groupby(bucket).map_groups──> reassemble_bucket
-         │                 (the north-rule groupby(doc_id)+sort(offset)
-         │                  shuffle, bucketed hash(doc_id)%B so the group
-         │                  fan-out is B calls, not one per doc)
+         │                 html/text expansion inline; column-wise builder)
+         ├─map_batches──> OCR               (actor pool when a provider
+         │                 needs warm engine state, else worker-cached
+         │                 tasks — see pipeline._ocr_stage)
+         ├─reassembly──> finalize_block     (local merge + in-doc
+         │                 sort(offset, sub); slim groupby(doc_id)
+         │                 verification + targeted repair in pipeline.py)
+         │              OR pack_partials -> groupby(bucket) -> finalize_bucket
+         │                 (literal payload shuffle variant)
          └─> extracted (EXTRACTED_SCHEMA)
 
 Skew note (SURVEY.md §4): a 400-page scanned PDF becomes 400 independent
 work-unit rows; `map_batches` re-batches across block boundaries, so the
-whale's pages spread across the whole OCR actor pool instead of straggling
-one task — this is the explicit doc-size-skew defeat the north rule asks
-for.
+whale's pages spread across the whole OCR stage instead of straggling one
+task — this is the explicit doc-size-skew defeat the north rule asks for.
 """
 
 from __future__ import annotations
