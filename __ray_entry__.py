@@ -195,6 +195,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_counts_by_lang": R.word_counts_by_lang,
         "validation_accounting": R.validation_accounting,
         "collection_rollup": R.collection_rollup,
+        "docs_with_ocr_status": R.docs_with_ocr_status,
+        "documents_page2": R.documents_page2,
+        "mean_confidence_by_provider": R.mean_confidence_by_provider,
+        "distinct_counts": R.distinct_counts,
+        "top_docs_per_lang": R.top_docs_per_lang,
+        "event_type_counts": R.event_type_counts,
         # dedup family
         "dedup_exact": _dedup_exact,
         "minhash_pairs": _minhash_pairs,
@@ -327,6 +333,44 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id
             FROM documents GROUP BY 1
+        """,
+        "docs_with_ocr_status": """
+            SELECT doc_id, n_chars,
+                   CASE WHEN n_chars % 3 = 0 THEN 'pending'
+                        WHEN n_chars % 7 <> 0 THEN 'completed'
+                        ELSE 'failed' END AS ocr_status
+            FROM documents
+        """,
+        "documents_page2": """
+            SELECT doc_id, source, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 20 OFFSET 20
+        """,
+        "mean_confidence_by_provider": """
+            WITH d AS (
+              SELECT CASE WHEN doc_id % 5 = 0 THEN 'vision'
+                          ELSE 'tesseract' END AS provider,
+                     (n_chars * 37) % 10000 AS conf_bp
+              FROM documents)
+            SELECT provider, COUNT(*) AS n_docs,
+                   CAST(SUM(conf_bp) AS BIGINT) AS sum_conf_bp,
+                   CAST((CAST(SUM(conf_bp) AS BIGINT) * 100) // COUNT(*) AS BIGINT)
+                     AS mean_confidence_micros
+            FROM d GROUP BY provider
+        """,
+        "distinct_counts": """
+            SELECT (SELECT COUNT(DISTINCT lang) FROM documents) AS n_langs,
+                   (SELECT COUNT(DISTINCT source) FROM documents) AS n_sources,
+                   (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users
+        """,
+        "top_docs_per_lang": """
+            SELECT doc_id, lang, n_chars FROM documents
+            QUALIFY row_number() OVER (
+              PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3
+        """,
+        "event_type_counts": """
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+            FROM events GROUP BY event_type
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),

@@ -1,0 +1,103 @@
+"""Dedup family behavior: planted near-duplicates must be found; unrelated
+docs must not pair."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from unravel_ray.dedup import (
+    embedding_neardup,
+    exact_dedup,
+    minhash_candidate_pairs,
+    minhash_dedup,
+    minhash_signature,
+    ngram_jaccard,
+    simhash64,
+    simhash_buckets,
+    verify_pairs_jaccard,
+)
+
+BASE = ("the quick brown fox jumps over the lazy dog while the band plays "
+        "a slow tune in the old town hall near the river bank every evening")
+NEAR = BASE.replace("slow tune", "fast tune")  # tiny edit -> near-dup
+OTHER = ("completely different content about distributed query engines and "
+         "columnar formats with vectorized execution kernels and shuffles "
+         "spilling to disk under memory pressure in large clusters")
+
+
+def _docs():
+    rows = [
+        {"doc_id": 1, "text": BASE},
+        {"doc_id": 2, "text": NEAR},
+        {"doc_id": 3, "text": OTHER},
+        {"doc_id": 4, "text": BASE},  # exact dup of 1
+    ]
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_exact_dedup_keeps_min_id(ray_session):
+    out = {r["text_hash"]: r["doc_id"] for r in exact_dedup(_docs()).take_all()}
+    assert len(out) == 3  # BASE, NEAR, OTHER
+    assert 1 in out.values() and 4 not in out.values()
+
+
+def test_minhash_estimates_track_true_jaccard():
+    a, b = minhash_signature(BASE), minhash_signature(NEAR)
+    est = float(np.mean(a == b))
+    true = ngram_jaccard(BASE, NEAR)
+    assert abs(est - true) < 0.25
+    c = minhash_signature(OTHER)
+    assert float(np.mean(a == c)) < 0.2
+
+
+def test_minhash_pairs_and_clusters(ray_session):
+    pairs = minhash_candidate_pairs(_docs(), threshold=0.5).take_all()
+    found = {(p["a"], p["b"]) for p in pairs}
+    assert (1, 2) in found and (1, 4) in found and (2, 4) in found
+    assert not any(3 in p for p in found)
+
+    clusters = {r["doc_id"]: r["cluster_id"] for r in
+                minhash_dedup(_docs(), threshold=0.5).take_all()}
+    assert clusters[1] == clusters[2] == clusters[4] == 1
+    assert clusters[3] == 3
+
+
+def test_jaccard_verification_filters(ray_session):
+    pairs = minhash_candidate_pairs(_docs(), threshold=0.5)
+    verified = verify_pairs_jaccard(_docs(), pairs, threshold=0.7).take_all()
+    vset = {(p["a"], p["b"]) for p in verified}
+    assert (1, 4) in vset  # exact dup: jaccard 1.0
+    assert (1, 2) in vset  # one-word edit: jaccard ~0.79
+    for p in verified:
+        assert p["jaccard"] >= 0.7
+
+
+def test_simhash_near_and_far():
+    h1, h2, h3 = simhash64(BASE), simhash64(NEAR), simhash64(OTHER)
+    assert bin(h1 ^ h2).count("1") <= 8
+    assert bin(h1 ^ h3).count("1") > 12
+    assert simhash64(BASE) == h1  # deterministic
+
+
+def test_simhash_buckets_find_planted_pair(ray_session):
+    out = simhash_buckets(_docs(), max_hamming=8).take_all()
+    found = {(p["a"], p["b"]) for p in out}
+    assert (1, 4) in found
+    assert (1, 2) in found
+
+
+def test_embedding_neardup_pairs(ray_session):
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=16)
+    rows = [
+        {"vec_id": 0, "embedding": base.tolist()},
+        {"vec_id": 1, "embedding": (base + rng.normal(scale=0.05, size=16)).tolist()},
+        {"vec_id": 2, "embedding": rng.normal(size=16).tolist()},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    pairs = {(p["a"], p["b"]): p["cos"] for p in
+             embedding_neardup(ds, threshold=0.95).take_all()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.95
+    assert not any(2 in k for k in pairs)

@@ -71,7 +71,9 @@ def test_oracle_keys_subset_of_queries(contract):
     "document_previews", "customers_by_region", "orders_by_segment",
     "first_event_per_user", "event_hourly_windows", "word_counts_by_lang",
     "validation_accounting", "collection_rollup", "dedup_exact", "ann_topk",
-    "embedding_neardup", "token_stats",
+    "embedding_neardup", "token_stats", "docs_with_ocr_status",
+    "documents_page2", "mean_confidence_by_provider", "distinct_counts",
+    "top_docs_per_lang", "event_type_counts",
 ])
 def test_query_matches_oracle(contract, con, name):
     qs, sql = contract

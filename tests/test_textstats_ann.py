@@ -1,0 +1,83 @@
+"""Text analysis + similarity search behavior."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from unravel_ray.ann import LshIndexStage, brute_force_topk, lsh_topk
+from unravel_ray.textstats import (
+    LangIdStage,
+    QualityStage,
+    fingerprint64,
+    token_counts,
+)
+
+
+def test_langid_detects_planted_languages():
+    stage = LangIdStage()
+    assert stage.detect("the cat and the dog went to the house of a friend")[0] == "en"
+    assert stage.detect("der hund und die katze sind nicht in der stadt")[0] == "de"
+    assert stage.detect("le chat est dans la maison et les oiseaux")[0] == "fr"
+    assert stage.detect("el perro es un animal y la casa es grande")[0] == "es"
+    assert stage.detect("")[0] == "und"
+
+
+def test_quality_features():
+    stage = QualityStage()
+    batch = pa.table({"text": ["The quick brown fox, it jumps; over the lazy dog!",
+                               "", "!!! ??? ;;; ..."]})
+    out = stage(batch)
+    assert out["n_words"].to_pylist() == [10, 0, 4]
+    assert out["n_punct"].to_pylist()[0] == 3
+    scores = out["quality_score"].to_pylist()
+    assert scores[0] > scores[2]
+    assert scores[1] == 0.0
+
+
+def test_token_counts(ray_session):
+    ds = ray.data.from_arrow(pa.table({"text": ["Hello, world! 42 tokens?"]}))
+    row = token_counts(ds).take_all()[0]
+    assert row["n_words"] == 4
+    # Hello , world ! 42 tokens ?  -> 7 BPE-ish tokens
+    assert row["n_tokens"] == 7
+
+
+def test_fingerprint_stability_and_sensitivity():
+    text = " ".join(f"word{i}" for i in range(50))
+    assert fingerprint64(text) == fingerprint64(text)
+    # an edit far from the minimal window usually keeps the fingerprint;
+    # wholesale change must alter it
+    assert fingerprint64(text) != fingerprint64("entirely other content here")
+    assert fingerprint64("") == "0" * 16
+
+
+def _embeddings(n=200, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    mat = rng.normal(size=(n, dim))
+    rows = [{"vec_id": i, "embedding": mat[i].tolist()} for i in range(n)]
+    return ray.data.from_arrow(pa.Table.from_pylist(rows)), mat
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    ds, mat = _embeddings()
+    q = mat[:2]
+    out = brute_force_topk(ds, q, k=5)
+    matn = mat / np.linalg.norm(mat, axis=1)[:, None]
+    qn = q / np.linalg.norm(q, axis=1)[:, None]
+    sims = matn @ qn.T
+    for qi in range(2):
+        want = list(np.argsort(-sims[:, qi])[:5])
+        got = [r["vec_id"] for r in out.to_pylist() if r["query_idx"] == qi]
+        assert got == want
+        ranks = [r["rank"] for r in out.to_pylist() if r["query_idx"] == qi]
+        assert ranks == [0, 1, 2, 3, 4]
+
+
+def test_lsh_topk_self_recall(ray_session):
+    ds, mat = _embeddings()
+    q = mat[:3]
+    out = lsh_topk(ds, q, k=1, n_bits=8)
+    # each query's own vector shares its bucket -> rank-0 hit is itself
+    top = {r["query_idx"]: r["vec_id"] for r in out.to_pylist() if r["rank"] == 0}
+    assert top == {0: 0, 1: 1, 2: 2}

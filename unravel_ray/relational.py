@@ -406,3 +406,163 @@ def collection_rollup(sf_dir: str) -> Dataset:
         return batch.append_column("collection_status", status)
 
     return agg.map_batches(decide, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# J1 — files x ocr_data LEFT JOIN with missing -> 'pending'
+# ---------------------------------------------------------------------------
+
+def docs_with_ocr_status(sf_dir: str) -> Dataset:
+    """The reference J1 join exactly (GetCollectionResultImpl.java:36-59):
+    load file entries, bulk-fetch their OCR rows, left-join in memory,
+    missing rows surface as status='pending'.
+
+    The "ocr_data" side is derived deterministically from the documents
+    table (docs with n_chars % 3 == 0 have no OCR row yet; the rest split
+    completed/failed on n_chars % 7). Build side is broadcast (ray.put) —
+    the per-collection join in the reference is small-side by construction.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    ocr_map = {}
+    for did, nch in zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist()):
+        if nch % 3 == 0:
+            continue  # no OcrData row yet
+        ocr_map[did] = "completed" if nch % 7 != 0 else "failed"
+    map_ref = ray.put(ocr_map)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(map_ref)
+        ids = batch["doc_id"].to_pylist()
+        status = pa.array([lookup.get(d, "pending") for d in ids], pa.string())
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_chars": batch["n_chars"],
+             "ocr_status": status}
+        )
+
+    return _pq(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        probe, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# O2 — offset pagination (page 2 of the search sort)
+# ---------------------------------------------------------------------------
+
+def documents_page2(sf_dir: str, page_size: int = 20) -> "pa.Table":
+    """Second page of the O2 sort (DocumentSearchService.java:174-186
+    page/size windows): sort desc, skip page_size, take page_size.
+
+    Ray Data has no OFFSET; the idiom is limit(2*size) then slice the
+    (tiny) head client-side — the sort itself stays distributed.
+    """
+    top2 = (
+        _pq(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(2 * page_size)
+        .take_all()
+    )
+    page = top2[page_size:2 * page_size]
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in page], pa.int64()),
+        "source": pa.array([r["source"] for r in page], pa.string()),
+        "n_chars": pa.array([r["n_chars"] for r in page], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# G5 — mean confidence per provider (exact integer ratio)
+# ---------------------------------------------------------------------------
+
+def mean_confidence_by_provider(sf_dir: str) -> Dataset:
+    """Mean OCR confidence per provider (G5 block-confidence average,
+    GoogleVisionOcrProvider.java:283-295). Confidence is derived
+    deterministically in basis points (n_chars * 37 % 10000); provider =
+    'vision' when doc_id % 5 == 0 else 'tesseract'. The mean is an exact
+    integer ratio rounded at 6 dp — hash-stable across engines."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        conf_bp = pc.subtract(
+            pc.multiply(batch["n_chars"], pa.scalar(37, pa.int64())),
+            pc.multiply(
+                pc.divide(pc.multiply(batch["n_chars"], pa.scalar(37, pa.int64())),
+                          pa.scalar(10_000, pa.int64())),
+                pa.scalar(10_000, pa.int64()),
+            ),
+        )
+        five = pa.scalar(5, pa.int64())
+        is_vision = pc.equal(
+            pc.subtract(batch["doc_id"], pc.multiply(pc.divide(batch["doc_id"], five), five)),
+            pa.scalar(0, pa.int64()),
+        )
+        provider = pc.if_else(is_vision, pa.scalar("vision"), pa.scalar("tesseract"))
+        return pa.table({"provider": provider, "conf_bp": conf_bp})
+
+    agg = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("provider")
+        .aggregate(Count(alias_name="n_docs"), Sum("conf_bp", alias_name="sum_conf_bp"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        # exact integer micros: (sum_bp * 100) // n == mean * 1e6
+        mean_micros = pc.divide(
+            pc.multiply(batch["sum_conf_bp"], pa.scalar(100, pa.int64())),
+            batch["n_docs"],
+        )
+        return batch.append_column(
+            "mean_confidence_micros", pc.cast(mean_micros, pa.int64())
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# G7 — distinct counts
+# ---------------------------------------------------------------------------
+
+def distinct_counts(sf_dir: str) -> "pa.Table":
+    """Global distinct-count KPIs (G7 dashboard metrics,
+    DashboardMetricsCacheService.java:40-58): distinct langs / sources /
+    users. Each is a Dataset.unique (shuffle on one slim column)."""
+    n_langs = len(_pq(sf_dir, "documents", ["lang"]).unique("lang"))
+    n_sources = len(_pq(sf_dir, "documents", ["source"]).unique("source"))
+    n_users = len(_pq(sf_dir, "events", ["user_id"]).unique("user_id"))
+    return pa.table({
+        "n_langs": pa.array([n_langs], pa.int64()),
+        "n_sources": pa.array([n_sources], pa.int64()),
+        "n_users": pa.array([n_users], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# O2/O3 — per-group top-k (window-function shape)
+# ---------------------------------------------------------------------------
+
+def top_docs_per_lang(sf_dir: str, k: int = 3) -> Dataset:
+    """Top-k largest docs per language — the window-function
+    (row_number over partition) shape as groupby + per-group head(k)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def head_k(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("n_chars", "descending"), ("doc_id", "ascending")])
+        return g.slice(0, k)
+
+    return ds.groupby("lang").map_groups(head_k, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# G7 — event-type histogram
+# ---------------------------------------------------------------------------
+
+def event_type_counts(sf_dir: str) -> Dataset:
+    """Event-type histogram with per-type value cents (grouped KPI)."""
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+    return (
+        ds.map_batches(lambda b: _cents(b, "value", "value_cents").drop_columns(["value"]),
+                       batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents"))
+    )

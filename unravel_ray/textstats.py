@@ -89,6 +89,7 @@ class QualityStage:
             np.minimum(nw / 50.0, 1.0) * (1.0 - np.minimum(punct_ratio * 4, 1.0)) * (0.5 + stop_ratio),
             0.0, 1.0,
         )
+        score[np.array(n_words) == 0] = 0.0  # an empty doc has no quality
         return (
             batch.append_column("n_words", pa.array(n_words, pa.int64()))
             .append_column("n_punct", pa.array(n_punct, pa.int64()))
