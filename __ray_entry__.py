@@ -175,6 +175,27 @@ def _image_decode(sf_dir: str):
     return decode_images(ray.data.from_arrow(blobs))
 
 
+def _quarantine(sf_dir: str):
+    from unravel_ray.edits import build_quarantine
+    from unravel_ray.pipeline import run_flagship
+
+    return build_quarantine(run_flagship(sf_dir))
+
+
+def _search_projection(sf_dir: str):
+    from unravel_ray.pipeline import run_flagship
+    from unravel_ray.sources import search_projection
+
+    return search_projection(run_flagship(sf_dir))
+
+
+def _export_markdown(sf_dir: str):
+    from unravel_ray.export import export_documents
+    from unravel_ray.pipeline import run_flagship
+
+    return export_documents(run_flagship(sf_dir), fmt="markdown")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from unravel_ray import relational as R
 
@@ -216,6 +237,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _token_stats,
         # multimodal plumbing
         "image_decode": _image_decode,
+        # edit / quarantine / export flows
+        "collection_size_gate": R.collection_size_gate,
+        "quarantine": _quarantine,
+        "search_projection": _search_projection,
+        "export_markdown": _export_markdown,
     }
 
 
@@ -371,6 +397,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY event_type
+        """,
+        "collection_size_gate": """
+            WITH d AS (
+              SELECT doc_id // 8 AS collection_id, n_chars * 20000 AS fsize
+              FROM documents)
+            SELECT collection_id, CAST(SUM(fsize) AS BIGINT) AS total_bytes,
+                   CASE WHEN SUM(fsize) > 52428800 THEN 'rejected_total_size'
+                        ELSE 'accepted' END AS gate
+            FROM d GROUP BY collection_id
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),

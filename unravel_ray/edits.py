@@ -1,0 +1,167 @@
+"""Post-extraction content editing + quarantine (UpdateOcrContent flow and
+the DLQ analog).
+
+Edit semantics (reference ocrprocessing/impl/UpdateOcrContentImpl.java):
+
+* Only COMPLETED documents may be edited (:66-70 -> BadRequest otherwise).
+* HTML content is sanitized before storage (:98-103 Jsoup.clean with the
+  relaxed+extras safelist); markdown is stored as-is (no executable
+  content).
+* The edit is stored alongside — the original extracted spans are
+  preserved untouched (pinned by UpdateOcrContentImplTest.java:218-).
+
+Quarantine (SURVEY.md §2.9 DLQ analog): failed rows are projected into a
+dedicated table carrying the reference's DLQ header fields
+(KafkaErrorHandler.java:243-266 — original stage, exception class,
+message) so poison documents are auditable without scanning the corpus.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from .html_extract import extract_html_spans, is_html, parse_fragment, strip_boilerplate
+from .schema import QUARANTINE_SCHEMA
+
+
+class EditRejected(ValueError):
+    """Edit attempted on a document that has not completed extraction."""
+
+
+def sanitize_html(content: str) -> str:
+    """Safelist-style sanitize: parse, strip boilerplate/scripts/handlers,
+    re-serialize surviving structure (M8). Text-level equivalent of
+    Jsoup.clean with the reference safelist."""
+
+    def render(node) -> str:
+        if isinstance(node, str):
+            return node
+        inner = "".join(render(c) for c in node.children)
+        if node.tag == "#root":
+            return inner
+        if node.tag in {"br", "hr"}:
+            return f"<{node.tag}>"
+        attrs = ""
+        if node.tag == "a" and "href" in node.attrs:
+            href = node.attrs["href"]
+            if href.split(":", 1)[0].lower() in {"http", "https", "mailto"} or ":" not in href:
+                attrs = f' href="{href}"'
+        return f"<{node.tag}{attrs}>{inner}</{node.tag}>"
+
+    return render(strip_boilerplate(parse_fragment(content)))
+
+
+def sanitize_content(content: str, content_format: str) -> str:
+    """HTML is sanitized; markdown passes through
+    (UpdateOcrContentImpl.java:95-104)."""
+    if content_format.upper() == "HTML":
+        return sanitize_html(content)
+    return content
+
+
+def apply_edits(extracted: Dataset, edits: dict[str, tuple[str, str]]) -> Dataset:
+    """Apply {doc_id: (edited_content, format)} to the extracted table.
+
+    Adds ``edited_content`` / ``content_format`` columns; rows for
+    non-completed docs raise EditRejected eagerly (driver-side check on
+    the small edit dict — status is validated against the table).
+    Original spans are never modified.
+    """
+    sanitized = {
+        d: (sanitize_content(c, f), f.upper()) for d, (c, f) in edits.items()
+    }
+    import ray
+
+    ref = ray.put(sanitized)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        table_edits = ray.get(ref)
+        ids = batch["doc_id"].to_pylist()
+        statuses = batch["status"].to_pylist()
+        contents, formats = [], []
+        for d, s in zip(ids, statuses):
+            if d in table_edits:
+                if s != "completed":
+                    raise EditRejected(
+                        f"Cannot edit content for a document that has not completed "
+                        f"OCR processing. Current status: {s}"
+                    )
+                c, f = table_edits[d]
+                contents.append(c)
+                formats.append(f)
+            else:
+                contents.append(None)
+                formats.append(None)
+        return batch.append_column(
+            "edited_content", pa.array(contents, pa.string())
+        ).append_column("content_format", pa.array(formats, pa.string()))
+
+    return extracted.map_batches(attach, batch_format="pyarrow")
+
+
+def build_quarantine(extracted: Dataset, stage: str = "extract") -> Dataset:
+    """Project failed rows into the quarantine table (DLQ analog)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["status"], value_set=pa.array(["failed"]))
+        bad = batch.filter(mask)
+        n = bad.num_rows
+        err = bad["error_message"].to_pylist() if n else []
+        classes = [(e.split(":", 1)[0] if e and ":" in e else "Error") for e in err]
+        return pa.table({
+            "doc_id": bad["doc_id"],
+            "collection_id": bad["collection_id"],
+            "stage": pa.array([stage] * n, pa.string()),
+            "error_class": pa.array(classes, pa.string()),
+            "error_message": pa.array(err, pa.string()),
+            "media_ref": pa.array([None] * n, pa.string()),
+        }).cast(QUARANTINE_SCHEMA)
+
+    return extracted.map_batches(project, batch_format="pyarrow")
+
+
+def enforce_total_size_cap(docs: Dataset, cap_bytes: int = 50 * 1024 * 1024) -> Dataset:
+    """Collection-level total-upload cap (FileSize.MULTIPLE_FILE_SIZE,
+    reference FileSize.java:6-9; applied before processing,
+    BulkDocumentUploadExtractionImpl.java:76-77).
+
+    Slim pre-pass: groupby(collection_id).sum(file_size) — only two small
+    columns shuffle — then the over-cap collection set is broadcast and
+    every doc in an over-cap collection is marked failed_validation (rows
+    retained; partial-success semantics).
+    """
+    from ray.data.aggregate import Sum
+
+    totals = (
+        docs.select_columns(["collection_id", "file_size"])
+        .groupby("collection_id")
+        .aggregate(Sum("file_size", alias_name="total_bytes"))
+    )
+    over = {
+        r["collection_id"]
+        for r in totals.map_batches(
+            lambda t: t.filter(pc.greater(t["total_bytes"], cap_bytes)),
+            batch_format="pyarrow",
+        ).take_all()
+    }
+    if not over:
+        return docs
+    import ray
+
+    ref = ray.put(frozenset(over))
+    msg = (f"The total size of all files must not exceed "
+           f"{cap_bytes // (1024 * 1024)} MB.")
+
+    def mark(batch: pa.Table) -> pa.Table:
+        bad = ray.get(ref)
+        errs = [msg if c in bad else None for c in batch["collection_id"].to_pylist()]
+        if "precheck_error" in batch.column_names:
+            prev = batch["precheck_error"].to_pylist()
+            errs = [e or p for e, p in zip(errs, prev)]
+            batch = batch.drop_columns(["precheck_error"])
+        return batch.append_column("precheck_error", pa.array(errs, pa.string()))
+
+    return docs.map_batches(mark, batch_format="pyarrow")

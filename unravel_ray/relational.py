@@ -566,3 +566,36 @@ def event_type_counts(sf_dir: str) -> Dataset:
         .groupby("event_type")
         .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# G1 — collection total-size gate (SQL-checkable variant)
+# ---------------------------------------------------------------------------
+
+def collection_size_gate(sf_dir: str) -> Dataset:
+    """Total-upload cap per collection (FileSize.MULTIPLE_FILE_SIZE 50 MB,
+    BulkDocumentUploadExtractionImpl.java:76-77) over derived sizes
+    (n_chars * 20000; collection = doc_id // 8). Combiner-first grouped sum."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        eight = pa.scalar(8, pa.int64())
+        return pa.table({
+            "collection_id": pc.divide(batch["doc_id"], eight),
+            "fsize": pc.multiply(batch["n_chars"], pa.scalar(20_000, pa.int64())),
+        })
+
+    agg = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby("collection_id")
+        .aggregate(Sum("fsize", alias_name="total_bytes"))
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        status = pc.if_else(
+            pc.greater(batch["total_bytes"], pa.scalar(50 * 1024 * 1024)),
+            pa.scalar("rejected_total_size"), pa.scalar("accepted"),
+        )
+        return batch.append_column("gate", status)
+
+    return agg.map_batches(gate, batch_format="pyarrow")

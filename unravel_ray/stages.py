@@ -102,9 +102,14 @@ def explode_extract(batch: pa.Table) -> pa.Table:
     eps = col("end_page")
     pgs = col("pages")
     spans_col = col("spans")
+    prechecks = col("precheck_error")  # upstream gates (e.g. total-size cap)
 
     out = _UnitColumns()
     for i in range(batch.num_rows):
+        if prechecks[i]:
+            out.add(doc_ids[i], colls[i], langs[i],
+                    doc_status="failed_validation", error_message=prechecks[i])
+            continue
         _explode_doc_cols(out, doc_ids[i], colls[i], mimes[i], sizes[i],
                           langs[i], sps[i], eps[i], pgs[i], spans_col[i])
     return out.table()
