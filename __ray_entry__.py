@@ -104,6 +104,19 @@ def _ann_topk(sf_dir: str):
     return out.select(["query_idx", "rank", "vec_id"])
 
 
+def _ivf_topk(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from unravel_ray.ann import ivf_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"][:2].to_pylist()])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, q, k=5, n_centroids=8, n_probe=3)
+
+
 def _lsh_topk(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -230,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": _ann_topk,
         "lsh_topk": _lsh_topk,
+        "ivf_topk": _ivf_topk,
         # text analysis
         "lang_distribution": _lang_distribution,
         "quality_scores": _quality_scores,

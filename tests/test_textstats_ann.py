@@ -81,3 +81,15 @@ def test_lsh_topk_self_recall(ray_session):
     # each query's own vector shares its bucket -> rank-0 hit is itself
     top = {r["query_idx"]: r["vec_id"] for r in out.to_pylist() if r["rank"] == 0}
     assert top == {0: 0, 1: 1, 2: 2}
+
+
+def test_ivf_topk_self_recall_and_quality(ray_session):
+    from unravel_ray.ann import ivf_topk
+
+    ds, mat = _embeddings(300)
+    q = mat[:3]
+    out = ivf_topk(ds, q, k=5, n_centroids=8, n_probe=3)
+    rows = out.to_pylist()
+    top = {r["query_idx"]: r["vec_id"] for r in rows if r["rank"] == 0}
+    assert top == {0: 0, 1: 1, 2: 2}  # each query finds itself
+    assert all(len([r for r in rows if r["query_idx"] == qi]) == 5 for qi in range(3))

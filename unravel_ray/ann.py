@@ -127,3 +127,77 @@ def lsh_topk(ds: Dataset, queries: np.ndarray, k: int = 10, n_bits: int = 12,
 
     candidates = indexed.map_batches(keep, batch_format="pyarrow")
     return brute_force_topk(candidates, queries, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant — the k-means-bucketed scale path
+# ---------------------------------------------------------------------------
+
+def _kmeans_fit(sample: np.ndarray, n_centroids: int, n_iters: int = 8,
+                seed: int = 42) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (cosine space:
+    rows normalized, centroids re-normalized each iteration)."""
+    rng = np.random.RandomState(seed)
+    s = _normalize(np.asarray(sample, dtype=np.float64))
+    cents = s[rng.choice(s.shape[0], size=min(n_centroids, s.shape[0]), replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(s @ cents.T, axis=1)
+        for c in range(cents.shape[0]):
+            members = s[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+        cents = _normalize(cents)
+    return cents
+
+
+class IvfIndexStage:
+    """Assign rows to their nearest centroid (broadcast centroids; one
+    matmul per batch)."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding"):
+        import ray as _ray
+
+        self.centroids = _ray.get(centroids_ref)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch[self.vec_col].to_pylist()]
+        ))
+        assign = np.argmax(mat @ self.centroids.T, axis=1).astype(np.int64)
+        return batch.append_column("ivf_cell", pa.array(assign, pa.int64()))
+
+
+def ivf_topk(ds: Dataset, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+             n_probe: int = 2, sample_rows: int = 10_000, seed: int = 42,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             concurrency=2) -> pa.Table:
+    """Approximate top-k via an inverted-file index: k-means centroids from
+    a bounded sample, rows bucketed by nearest centroid, each query scans
+    only its ``n_probe`` nearest cells. At 100 TB the cells map to
+    partition directories and the probe is a partition-pruned read; here
+    the prune is a broadcast-filter over the streamed dataset.
+    """
+    import ray as _ray
+
+    sample = [r[vec_col] for r in ds.limit(sample_rows).take_all()]
+    cents = _kmeans_fit(np.stack(sample), n_centroids, seed=seed)
+    cents_ref = _ray.put(cents)
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]
+    wanted = set(int(c) for c in probe.ravel())
+    wanted_ref = _ray.put(wanted)
+
+    indexed = ds.map_batches(
+        IvfIndexStage, fn_constructor_kwargs=dict(centroids_ref=cents_ref, vec_col=vec_col),
+        batch_format="pyarrow", concurrency=concurrency,
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        w = _ray.get(wanted_ref)
+        mask = pa.array([c in w for c in batch["ivf_cell"].to_pylist()], pa.bool_())
+        return batch.filter(mask)
+
+    candidates = indexed.map_batches(keep, batch_format="pyarrow")
+    return brute_force_topk(candidates, queries, k, vec_col, id_col)

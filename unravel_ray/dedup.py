@@ -62,17 +62,43 @@ def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
+_WORD_HASH_CACHE: dict[str, int] = {}
+_POLY = np.uint64(1099511628211)  # FNV prime; shingle hash = poly-combine of word hashes
+
+
+def _word_hash(w: str) -> int:
+    h = _WORD_HASH_CACHE.get(w)
+    if h is None:
+        if len(_WORD_HASH_CACHE) > 1_000_000:
+            _WORD_HASH_CACHE.clear()  # bound worker memory
+        h = _WORD_HASH_CACHE[w] = int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
+        )
+    return h
+
+
 def _shingle_hashes(text: str, width: int = 3) -> np.ndarray:
-    """Word-shingle 64-bit hashes (deterministic; blake2b seeds)."""
+    """Word-shingle 64-bit hashes.
+
+    Vectorized: each word hashed once (worker-cached blake2b), shingle
+    hash = polynomial combination over the sliding window (uint64 wrap) —
+    no per-shingle string building or digesting. Deterministic.
+    """
     words = (text or "").lower().split()
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    wh = np.fromiter((_word_hash(w) for w in words), dtype=np.uint64, count=len(words))
     if len(words) < width:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i:i + width]) for i in range(len(words) - width + 1)]
-    out = np.empty(max(len(grams), 0), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-    return out
+        h = np.uint64(0)
+        for x in wh:
+            h = h * _POLY + x
+        return np.array([h], dtype=np.uint64)
+    n = len(words) - width + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(width):
+            acc = acc * _POLY + wh[j:j + n]
+    return acc
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:

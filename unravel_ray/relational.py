@@ -110,13 +110,24 @@ def lineitem_pricing(sf_dir: str) -> Dataset:
 
 def user_event_totals(sf_dir: str) -> Dataset:
     """Per-user event count + value cents (G4 storage accounting analog,
-    DocumentUploadImpl.java:150-161)."""
+    DocumentUploadImpl.java:150-161).
+
+    Combiner-first: each batch partial-aggregates with a vectorized
+    pyarrow TableGroupBy, so the shuffle moves one row per (user, batch)
+    instead of one per event."""
     ds = _pq(sf_dir, "events", ["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = _cents(batch, "value", "value_cents")
+        g = pa.TableGroupBy(b.select(["user_id", "value_cents"]), "user_id").aggregate(
+            [("value_cents", "sum"), ("value_cents", "count")]
+        )
+        return g.rename_columns(["user_id", "value_cents", "n"])
+
     return (
-        ds.map_batches(lambda b: _cents(b, "value", "value_cents").drop_columns(["value"]),
-                       batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("user_id")
-        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents"))
+        .aggregate(Sum("n", alias_name="n_events"), Sum("value_cents", alias_name="value_cents"))
     )
 
 
@@ -262,21 +273,23 @@ def event_hourly_windows(sf_dir: str) -> Dataset:
     """
     ds = _pq(sf_dir, "events", ["user_id", "ts", "value"])
 
-    def windowize(batch: pa.Table) -> pa.Table:
+    def windowize_partial(batch: pa.Table) -> pa.Table:
         win = pc.floor_temporal(batch["ts"], unit="hour")
         b = _cents(batch, "value", "value_cents")
-        return pa.table(
-            {
-                "user_id": b["user_id"],
-                "window_start": win,
-                "value_cents": b["value_cents"],
-            }
+        t = pa.table({
+            "user_id": b["user_id"],
+            "window_start": win,
+            "value_cents": b["value_cents"],
+        })
+        g = pa.TableGroupBy(t, ["user_id", "window_start"]).aggregate(
+            [("value_cents", "sum"), ("value_cents", "count")]
         )
+        return g.rename_columns(["user_id", "window_start", "value_cents", "n"])
 
     return (
-        ds.map_batches(windowize, batch_format="pyarrow")
+        ds.map_batches(windowize_partial, batch_format="pyarrow")
         .groupby(["user_id", "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="value_cents"))
+        .aggregate(Sum("n", alias_name="n_events"), Sum("value_cents", alias_name="value_cents"))
     )
 
 
