@@ -107,3 +107,21 @@ def test_shuffle_reassembly_matches_local(ray_session, corpus, pipeline_out):
         assert a["spans"] == b["spans"], doc_id
         for k in ("status", "error_message", "provider", "n_spans", "n_chars"):
             assert a[k] == b[k], (doc_id, k)
+
+
+def test_whale_docs_explode_into_parallel_units(corpus):
+    """Skew story (SURVEY §4): a 100-400-page PDF must become one work
+    unit per page so map_batches spreads it across the pool."""
+    from unravel_ray.stages import explode_extract
+
+    whales = [d for d in corpus.to_pylist()
+              if sum(1 for s in d["spans"] if s["kind"] == "pdf_page") >= 100]
+    assert whales, "corpus should contain whales"
+    import pyarrow as pa
+
+    from unravel_ray.schema import DOCS_SCHEMA
+
+    units = explode_extract(pa.Table.from_pylist(whales[:1], schema=DOCS_SCHEMA))
+    assert units.num_rows >= 100  # one row per page, not one blob
+    subs = units["sub"].to_pylist()
+    assert subs == sorted(subs)

@@ -148,3 +148,19 @@ def point_lookup(ds: Dataset, doc_id: str) -> list[dict]:
     return ds.map_batches(
         lambda b: b.filter(pc.equal(b["doc_id"], doc_id)), batch_format="pyarrow"
     ).take_all()
+
+
+def read_docs_any(path: str, columns: list[str] | None = None) -> Dataset:
+    """Columnar-store reader with the Lance fast path.
+
+    The north star names Lance-backed tables; ``pylance`` is not
+    installable in this environment (SURVEY.md §7.0), so the reader is
+    gated: Lance datasets when the library is importable, Parquet
+    otherwise — identical downstream semantics either way.
+    """
+    try:
+        import lance  # type: ignore  # noqa: F401
+
+        return ray.data.read_lance(path, columns=columns)
+    except ImportError:
+        return ray.data.read_parquet(path, columns=columns)
