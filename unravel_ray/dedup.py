@@ -189,7 +189,7 @@ def _bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
 
 def minhash_candidate_pairs(ds: Dataset, threshold: float = 0.8, num_perm: int = 64,
                             bands: int = 16, text_col: str = "text",
-                            id_col: str = "doc_id", concurrency=2) -> Dataset:
+                            id_col: str = "doc_id", concurrency=(2, 8)) -> Dataset:
     """Near-duplicate candidate pairs (a < b) with estimated Jaccard >= threshold."""
     banded = ds.map_batches(
         MinHashStage,
