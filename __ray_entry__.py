@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": R.orders_by_segment,
         "first_event_per_user": R.first_event_per_user,
         "event_hourly_windows": R.event_hourly_windows,
+        "event_sessions": R.event_sessions,
         "word_counts_by_lang": R.word_counts_by_lang,
         "validation_accounting": R.validation_accounting,
         "collection_rollup": R.collection_rollup,
@@ -411,6 +412,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY event_type
+        """,
+        "event_sessions": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                          OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            numbered AS (
+              SELECT user_id, ts,
+                     SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged)
+            SELECT user_id, MIN(ts) AS session_start,
+                   COUNT(*) AS n_events,
+                   CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us
+            FROM numbered GROUP BY user_id, session_id
         """,
         "collection_size_gate": """
             WITH d AS (

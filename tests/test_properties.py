@@ -1,0 +1,172 @@
+"""Property-based tests (hypothesis) over the pure leaf kernels."""
+
+import re
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from unravel_ray.dedup import minhash_signature, ngram_jaccard, simhash64
+from unravel_ray.html_extract import extract_html_spans, split_plain_text
+from unravel_ray.pages import PageSelectionError, resolve_pages
+from unravel_ray.pdftext import join_direct, join_ocr, needs_ocr_mode
+
+# ---------------------------------------------------------------------------
+# page selection
+# ---------------------------------------------------------------------------
+
+
+@given(
+    total=st.integers(1, 500),
+    start=st.one_of(st.none(), st.integers(-5, 520)),
+    end=st.one_of(st.none(), st.integers(-5, 520)),
+    pages=st.one_of(st.none(), st.lists(st.integers(-5, 520), max_size=20)),
+)
+@settings(max_examples=300, deadline=None)
+def test_resolve_pages_model(total, start, end, pages):
+    """Against a brute-force model: either both raise, or results match the
+    reference semantics (discrete beats range; sorted unique 0-indexed)."""
+    try:
+        got = resolve_pages(total, start, end, pages)
+    except PageSelectionError:
+        # model must also consider it invalid
+        if pages:
+            assert any(p < 1 or p > total for p in pages)
+        else:
+            s = start if start is not None else 1
+            e = end if end is not None else total
+            assert (
+                (start is not None and (start < 1 or start > total))
+                or (end is not None and (end < 1 or end > total))
+                or s > e
+            )
+        return
+    if pages:
+        assert got == sorted({p - 1 for p in pages})
+    else:
+        s = (start or 1) - 1
+        e = end if end is not None else total
+        assert got == list(range(s, e))
+    assert all(0 <= p < total for p in got)
+    assert got == sorted(set(got))
+
+
+# ---------------------------------------------------------------------------
+# pdf joins
+# ---------------------------------------------------------------------------
+
+page_text = st.one_of(st.none(), st.text(alphabet=" \t\nabcXYZ-", max_size=30))
+
+
+@given(st.lists(st.tuples(st.integers(1, 999), page_text), max_size=12))
+@settings(max_examples=300, deadline=None)
+def test_join_direct_invariants(pages):
+    out = join_direct(pages)
+    nonblank = [(n, t.strip()) for n, t in pages if t and t.strip()]
+    if not nonblank:
+        assert out == ""
+        return
+    # every contributing page's stripped text appears, in order
+    pos = 0
+    for _, t in nonblank:
+        i = out.find(t, pos)
+        assert i >= 0
+        pos = i + len(t)
+    # separator count = contributing pages - 1
+    assert len(re.findall(r"\n--- Page \d+ ---\n", out)) >= len(nonblank) - 1
+    # never starts with a separator
+    assert not out.startswith("\n--- Page")
+
+
+@given(st.lists(st.tuples(st.integers(1, 999), page_text), min_size=1, max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_join_ocr_keeps_every_page(pages):
+    out = join_ocr(pages)
+    assert len(re.findall(r"\n--- Page \d+ ---\n", out)) == len(pages) - 1
+
+
+@given(st.lists(st.tuples(st.integers(1, 99), page_text), max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_needs_ocr_iff_all_blank(pages):
+    assert needs_ocr_mode(pages) == all(t is None or t.strip() == "" for _, t in pages)
+
+
+# ---------------------------------------------------------------------------
+# html walk robustness
+# ---------------------------------------------------------------------------
+
+tag = st.sampled_from(["p", "h1", "h2", "ul", "li", "div", "b", "em", "span",
+                       "script", "nav", "br", "a", "blockquote"])
+word = st.text(alphabet="abcdef ", min_size=0, max_size=12)
+
+
+@st.composite
+def tag_soup(draw, depth=0):
+    n = draw(st.integers(0, 4 if depth < 2 else 0))
+    parts = []
+    for _ in range(n):
+        t = draw(tag)
+        if t == "br":
+            parts.append("<br>")
+        elif draw(st.booleans()):
+            inner = draw(tag_soup(depth=depth + 1)) if depth < 2 else draw(word)
+            parts.append(f"<{t}>{inner}</{t}>")
+        else:
+            parts.append(f"<{t}>{draw(word)}")  # unclosed tag
+    parts.append(draw(word))
+    return "".join(parts)
+
+
+@given(tag_soup())
+@settings(max_examples=300, deadline=None)
+def test_html_walk_never_crashes_or_leaks_script(html):
+    spans = extract_html_spans("<script>SENTINEL()</script>" + html)
+    for kind, text in spans:
+        assert kind in {"heading", "text", "list_item"}
+        assert text != ""
+        assert "SENTINEL" not in text
+        assert "\r" not in text
+
+
+@given(st.text(alphabet="ab \r\n", max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_split_plain_text_java_model(text):
+    """Model: Java split("\\r?\\n") drops only trailing empties."""
+    parts = re.split(r"\r?\n", text)
+    while parts and parts[-1] == "":
+        parts.pop()
+    assert split_plain_text(text) == parts
+
+
+# ---------------------------------------------------------------------------
+# dedup kernels
+# ---------------------------------------------------------------------------
+
+doc_text = st.text(alphabet="abcdefgh ", min_size=0, max_size=200)
+
+
+@given(doc_text)
+@settings(max_examples=100, deadline=None)
+def test_minhash_identity(text):
+    a = minhash_signature(text)
+    b = minhash_signature(text)
+    assert (a == b).all()
+    if text.split():
+        assert float(np.mean(a == minhash_signature(text))) == 1.0
+
+
+@given(doc_text, doc_text)
+@settings(max_examples=100, deadline=None)
+def test_jaccard_bounds_and_symmetry(t1, t2):
+    j = ngram_jaccard(t1, t2)
+    assert 0.0 <= j <= 1.0
+    assert j == ngram_jaccard(t2, t1)
+    assert ngram_jaccard(t1, t1) == 1.0
+
+
+@given(doc_text)
+@settings(max_examples=100, deadline=None)
+def test_simhash_in_range_and_stable(text):
+    h = simhash64(text)
+    assert 0 <= h < (1 << 64)
+    assert simhash64(text) == h

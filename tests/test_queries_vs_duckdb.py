@@ -74,6 +74,7 @@ def test_oracle_keys_subset_of_queries(contract):
     "embedding_neardup", "token_stats", "docs_with_ocr_status",
     "documents_page2", "mean_confidence_by_provider", "distinct_counts",
     "top_docs_per_lang", "event_type_counts", "collection_size_gate",
+    "event_sessions",
 ])
 def test_query_matches_oracle(contract, con, name):
     qs, sql = contract

@@ -89,9 +89,10 @@ def _shingle_hashes(text: str, width: int = 3) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     wh = np.fromiter((_word_hash(w) for w in words), dtype=np.uint64, count=len(words))
     if len(words) < width:
-        h = np.uint64(0)
-        for x in wh:
-            h = h * _POLY + x
+        with np.errstate(over="ignore"):
+            h = np.uint64(0)
+            for x in wh:
+                h = h * _POLY + x  # uint64 wrap intended
         return np.array([h], dtype=np.uint64)
     n = len(words) - width + 1
     acc = np.zeros(n, dtype=np.uint64)

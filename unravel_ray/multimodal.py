@@ -123,3 +123,86 @@ def synth_blobs(ids: list[str]) -> pa.Table:
     blobs = [hashlib.blake2b(f"blob:{i}".encode(), digest_size=32).digest() * 8 for i in ids]
     return pa.table({"media_id": pa.array(ids, pa.string()),
                      "blob": pa.array(blobs, pa.binary())})
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: audio blobs -> duration/energy features.
+
+    Decode is STUBBED (no ffmpeg/soundfile here): `FakeAudioBackend`
+    produces a deterministic PCM-ish tensor from the blob hash; a real
+    backend (pyav/soundfile) slots into ``decode`` unchanged. Batch sizes
+    stay small — audio blobs are MBs each (SURVEY.md §4 memory note).
+    """
+
+    SAMPLE_RATE = 16_000
+
+    def __init__(self, blob_col: str = "blob"):
+        self.blob_col = blob_col
+
+    def decode(self, blob: bytes) -> np.ndarray:
+        try:
+            import soundfile  # type: ignore  # noqa: F401
+        except ImportError:
+            seed = int.from_bytes(hashlib.blake2b(blob or b"", digest_size=8).digest(), "big")
+            rng = np.random.RandomState(seed % (2**32))
+            n = self.SAMPLE_RATE * (1 + seed % 5)  # 1-5 s deterministic
+            return (rng.standard_normal(n) * 0.1).astype(np.float32)
+        raise NotImplementedError("wire soundfile decode here")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch[self.blob_col].to_pylist()
+        dur, energy = [], []
+        for b in blobs:
+            pcm = self.decode(b)
+            dur.append(round(len(pcm) / self.SAMPLE_RATE, 3))
+            energy.append(round(float(np.sqrt(np.mean(pcm**2))), 6))
+        return (
+            batch.drop_columns([self.blob_col])
+            .append_column("duration_s", pa.array(dur, pa.float64()))
+            .append_column("rms_energy", pa.array(energy, pa.float64()))
+        )
+
+
+class FrameSampleStage:
+    """Actor-pool stage: video blobs -> N sampled frame features.
+
+    Decode is STUBBED (no pyav): deterministic fake frames from the blob
+    hash; emits one row per sampled frame (flat_map shape — media explode
+    mirrors the pdf-page explode in the text pipeline).
+    """
+
+    def __init__(self, n_frames: int = 4, blob_col: str = "blob",
+                 id_col: str = "media_id"):
+        self.n_frames = n_frames
+        self.blob_col = blob_col
+        self.id_col = id_col
+        self.backend = FakeDecodeBackend()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        blobs = batch[self.blob_col].to_pylist()
+        out_id, out_frame, out_mean = [], [], []
+        for mid, b in zip(ids, blobs):
+            for f in range(self.n_frames):
+                frame = self.backend.decode((b or b"") + f.to_bytes(2, "big"))
+                out_id.append(mid)
+                out_frame.append(f)
+                out_mean.append(round(float(frame.mean()), 4))
+        return pa.table({
+            self.id_col: pa.array(out_id, pa.string()),
+            "frame_no": pa.array(out_frame, pa.int32()),
+            "pixel_mean": pa.array(out_mean, pa.float64()),
+        })
+
+
+def extract_audio_features(ds: Dataset, batch_size: int = 16, concurrency=2) -> Dataset:
+    return ds.map_batches(AudioFeatureStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def sample_frames(ds: Dataset, n_frames: int = 4, batch_size: int = 8,
+                  concurrency=2) -> Dataset:
+    return ds.map_batches(FrameSampleStage,
+                          fn_constructor_kwargs={"n_frames": n_frames},
+                          batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)

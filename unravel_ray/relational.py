@@ -612,3 +612,49 @@ def collection_size_gate(sf_dir: str) -> Dataset:
         return batch.append_column("gate", status)
 
     return agg.map_batches(gate, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# §2.9 — session windows (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+def event_sessions(sf_dir: str, gap_minutes: int = 30) -> Dataset:
+    """Per-user session windows: consecutive events with inter-event gaps
+    < ``gap_minutes`` form one session (the classic gaps-and-islands
+    sessionization a streaming engine does with session windows).
+
+    Ray shape: groupby(user_id).map_groups — each group sorted by ts, gap
+    flags cumulated into session ids (ray_guide 'Streaming-shaped
+    workloads' pattern; ordering assumption: per-user, restored by the
+    in-group sort). Output: one row per session with start, n_events and
+    duration_us (exact integers — hash-stable).
+    """
+    ds = _pq(sf_dir, "events", ["user_id", "event_id", "ts"])
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessions(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        ts = g["ts"].cast(pa.int64()).to_numpy()  # epoch micros
+        new_session = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            new_session[1:] = (np.diff(ts) >= gap_us).astype(np.int64)
+        session_idx = np.cumsum(new_session) - 1
+        n_sessions = int(session_idx[-1]) + 1 if len(ts) else 0
+        starts, counts, durs = [], [], []
+        for s in range(n_sessions):
+            mask = session_idx == s
+            t = ts[mask]
+            starts.append(int(t[0]))
+            counts.append(int(mask.sum()))
+            durs.append(int(t[-1] - t[0]))
+        uid = g["user_id"][0].as_py() if len(ts) else None
+        return pa.table({
+            "user_id": pa.array([uid] * n_sessions, pa.int64()),
+            "session_start": pa.array(starts, pa.timestamp("us")),
+            "n_events": pa.array(counts, pa.int64()),
+            "duration_us": pa.array(durs, pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
