@@ -64,7 +64,9 @@ def _minhash_pairs(sf_dir: str):
 
     from unravel_ray.dedup import minhash_candidate_pairs
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(16)  # single-row-group file -> split for the python stage
     return minhash_candidate_pairs(ds, threshold=0.5)
 
 
@@ -73,7 +75,9 @@ def _simhash_pairs(sf_dir: str):
 
     from unravel_ray.dedup import simhash_buckets
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(16)
     return simhash_buckets(ds, max_hamming=6)
 
 
@@ -135,7 +139,9 @@ def _lang_distribution(sf_dir: str):
 
     from unravel_ray.textstats import lang_distribution
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(16)
     return lang_distribution(ds)
 
 
@@ -144,7 +150,9 @@ def _quality_scores(sf_dir: str):
 
     from unravel_ray.textstats import QualityStage
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(16)
     return ds.map_batches(QualityStage, batch_format="pyarrow", concurrency=2).select_columns(
         ["doc_id", "n_words", "n_punct", "n_stopwords", "quality_score"]
     )
@@ -155,7 +163,9 @@ def _fingerprints(sf_dir: str):
 
     from unravel_ray.textstats import fingerprints
 
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(16)
     return fingerprints(ds)
 
 

@@ -228,11 +228,16 @@ def read_docs_corpus(path: str) -> Dataset:
 
 
 def documents_to_docs(sf_dir: str, cfg: PipelineConfig | None = None) -> Dataset:
-    """Driver testdata bridge: documents.parquet -> interleaved DOCS rows."""
+    """Driver testdata bridge: documents.parquet -> interleaved DOCS rows.
+
+    The testdata files are single-row-group parquet => one read block; the
+    repartition splits it so the python-heavy bridge (and everything fused
+    after it) parallelizes instead of running on one task.
+    """
     cfg = cfg or PipelineConfig()
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    )
+    ).repartition(32)
     return ds.map_batches(
         interleave_documents_batch, fn_kwargs={"seed": cfg.seed},
         batch_format="pyarrow",
