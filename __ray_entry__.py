@@ -219,6 +219,43 @@ def _export_markdown(sf_dir: str):
     return export_documents(run_flagship(sf_dir), fmt="markdown")
 
 
+def _minhash_clusters(sf_dir: str):
+    import ray.data
+
+    from unravel_ray.dedup import minhash_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(16)
+    return minhash_dedup(ds, threshold=0.5)
+
+
+def _extract_then_neardup(sf_dir: str):
+    """Composed training-data pipeline: extract spans -> render text ->
+    MinHash near-dup over the EXTRACTED content (one lazy chain; the shape
+    a 100 TB data-curation job runs end to end)."""
+    import pyarrow as pa
+
+    from unravel_ray.dedup import minhash_candidate_pairs
+    from unravel_ray.export import render_spans
+    from unravel_ray.pipeline import run_flagship
+
+    extracted = run_flagship(sf_dir)
+
+    def to_text(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        ids, texts = [], []
+        for r in rows:
+            if r["status"] == "completed":
+                ids.append(int(r["doc_id"].rsplit("-", 1)[1]))
+                texts.append(render_spans(r["spans"]))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "text": pa.array(texts, pa.string())})
+
+    corpus = extracted.map_batches(to_text, batch_format="pyarrow")
+    return minhash_candidate_pairs(corpus, threshold=0.5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from unravel_ray import relational as R
 
@@ -264,6 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode": _image_decode,
         # edit / quarantine / export flows
         "collection_size_gate": R.collection_size_gate,
+        "minhash_clusters": _minhash_clusters,
+        "extract_then_neardup": _extract_then_neardup,
         "quarantine": _quarantine,
         "search_projection": _search_projection,
         "export_markdown": _export_markdown,
