@@ -125,3 +125,38 @@ def test_whale_docs_explode_into_parallel_units(corpus):
     assert units.num_rows >= 100  # one row per page, not one blob
     subs = units["sub"].to_pylist()
     assert subs == sorted(subs)
+
+
+def test_mixed_content_doc_with_page_selection(ray_session):
+    """A doc interleaving html + pdf pages + image + text (a shape the
+    synth corpus never generates) with a discrete page selection: pipeline
+    must equal oracle span-for-span."""
+    from oracle.pyref import extract_doc
+    from unravel_ray.schema import DOCS_SCHEMA
+
+    doc = {
+        "doc_id": "mixed-1", "collection_id": "cmix",
+        "mime_type": "application/pdf", "file_size": 1234, "lang": "eng",
+        "start_page": None, "end_page": None, "pages": [3, 1, 3],
+        "spans": [
+            {"kind": "html", "text": "<h1>Head</h1><p>Intro</p>", "media_ref": None, "offset": 0},
+            {"kind": "pdf_page", "text": "page one", "media_ref": "s3://m/p1.pdf", "offset": 1},
+            {"kind": "pdf_page", "text": "", "media_ref": "s3://m/p2.pdf", "offset": 2},
+            {"kind": "pdf_page", "text": "page three", "media_ref": "s3://m/p3.pdf", "offset": 3},
+            {"kind": "image", "text": None, "media_ref": "s3://m/img.png", "offset": 4},
+            {"kind": "text", "text": "tail line A\ntail line B", "media_ref": None, "offset": 5},
+        ],
+    }
+    t = pa.Table.from_pylist([doc], schema=DOCS_SCHEMA)
+    got = build_extraction(ray.data.from_arrow(t), PipelineConfig(ocr_concurrency=1)).take_all()[0]
+    want = extract_doc(doc)
+    assert [(s["kind"], s["text"], s["media_ref"]) for s in got["spans"]] == [
+        (s["kind"], s["text"], s["media_ref"]) for s in want["spans"]
+    ]
+    assert got["status"] == want["status"] == "completed"
+    # selection {1,3} dedupes + sorts: pdf text joins pages 1 and 3 only
+    pdf = [s for s in got["spans"] if s["kind"] == "pdf_text"][0]
+    assert pdf["text"] == "page one\n--- Page 3 ---\npage three"
+    # pdf block sits at the position of the FIRST pdf span, between html and image
+    kinds = [s["kind"] for s in got["spans"]]
+    assert kinds == ["heading", "text", "pdf_text", "ocr_text", "text", "text"]
