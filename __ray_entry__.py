@@ -421,7 +421,8 @@ def oracle_sql() -> dict[str, str]:
             FROM d GROUP BY collection_id
         """,
         "dedup_exact": """
-            SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id
+            SELECT CASE WHEN text IS NULL THEN '__null__' ELSE md5(text) END AS text_hash,
+                   MIN(doc_id) AS doc_id
             FROM documents GROUP BY 1
         """,
         "docs_with_ocr_status": """

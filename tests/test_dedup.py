@@ -101,3 +101,20 @@ def test_embedding_neardup_pairs(ray_session):
              embedding_neardup(ds, threshold=0.95).take_all()}
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.95
     assert not any(2 in k for k in pairs)
+
+
+def test_simhash_pigeonhole_guard_and_wide_hamming(ray_session):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="pigeonhole"):
+        simhash_buckets(_docs(), n_tables=2, max_hamming=3)
+    # max_hamming=6 derives 7 tables and still finds the planted pairs
+    out = {(p["a"], p["b"]) for p in simhash_buckets(_docs(), max_hamming=6).take_all()}
+    assert (1, 4) in out
+
+
+def test_minhash_dedup_pair_guard(ray_session):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="max_pairs"):
+        minhash_dedup(_docs(), threshold=0.1, max_pairs=0)

@@ -97,3 +97,10 @@ def test_total_size_cap_marks_whole_collection(ray_session):
     # other collections unaffected
     assert any(r["status"] == "completed"
                for c, rows in by_col.items() if c != "col-000001" for r in rows)
+
+
+def test_apply_edits_preflight_unknown_and_incomplete(ray_session):
+    with pytest.raises(EditRejected, match="not found"):
+        apply_edits(_extracted(), {"nope": ("x", "MARKDOWN")})
+    with pytest.raises(EditRejected, match="not completed"):
+        apply_edits(_extracted(), {"d2": ("x", "MARKDOWN")})

@@ -89,3 +89,15 @@ def test_is_pdf():
         pa.array([None, "a/b.pdf?x=1", "c.txt"]),
     )
     assert col.to_pylist() == [True, True, False]
+
+
+def test_parse_llm_json_hardening():
+    from unravel_ray.functions import parse_llm_json
+
+    # non-numeric confidence -> defaults, never raises
+    assert parse_llm_json('{"confidence": "high"}') == {
+        "document_type": "other", "tags": ["unclassified"], "confidence": 0.0
+    }
+    # string tags coerced to a list
+    assert parse_llm_json('{"tags": "a, b"}')["tags"] == ["a", "b"]
+    assert parse_llm_json('{"tags": [1, "x"]}')["tags"] == ["1", "x"]

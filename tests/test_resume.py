@@ -9,6 +9,8 @@ import pytest
 
 import ray.data
 
+import ray.data as _rd  # noqa: F401
+
 from unravel_ray.checkpoint import (
     PartitionInterrupted,
     load_extracted,
@@ -71,3 +73,44 @@ def test_manifest_lineage_fields(ray_session, tmp_path):
         assert r["n_rows"] == r["n_completed"] + r["n_failed"]
         assert ":" in r["input_fingerprint"]
         assert r["wall_time_s"] >= 0
+
+
+def test_verify_inputs_invalidates_changed_partition(ray_session, tmp_path):
+    """verify_inputs=True must re-extract a partition whose SOURCE rows
+    changed (same doc ids, edited content) and leave others untouched."""
+    import pyarrow as pa
+
+    from unravel_ray.schema import DOCS_SCHEMA
+
+    out = str(tmp_path / "vi")
+    base = make_corpus(80).to_pylist()
+
+    def make_v1():
+        return ray.data.from_arrow(pa.Table.from_pylist(base, schema=DOCS_SCHEMA))
+
+    run_with_checkpoint(make_v1, out, 4, CFG)
+    m1 = read_manifest(out)
+
+    # edit ONE doc's content (same id)
+    edited = [dict(r) for r in base]
+    victim = next(r for r in edited if r["spans"] and r["spans"][0]["kind"] == "html")
+    victim["spans"] = [dict(victim["spans"][0], text="<p>changed content</p>")]
+
+    def make_v2():
+        return ray.data.from_arrow(pa.Table.from_pylist(edited, schema=DOCS_SCHEMA))
+
+    # plain resume skips everything (crash-resume contract)
+    res_plain = run_with_checkpoint(make_v2, out, 4, CFG)
+    assert res_plain["executed"] == []
+
+    # verified resume re-runs exactly the victim's partition
+    res = run_with_checkpoint(make_v2, out, 4, CFG, verify_inputs=True)
+    assert len(res["executed"]) == 1
+    m2 = read_manifest(out)
+    changed = res["executed"][0]
+    assert m2[changed]["input_fingerprint"] != m1[changed]["input_fingerprint"]
+    for pid in res["skipped"]:
+        assert m2[pid] == m1[pid]
+
+    rows = {r["doc_id"]: r for r in load_extracted(out).take_all()}
+    assert any(s["text"] == "changed content" for s in rows[victim["doc_id"]]["spans"])

@@ -56,6 +56,34 @@ def _fingerprint(batch_ids: list[str]) -> tuple[int, int]:
     return acc, len(batch_ids)
 
 
+def input_fingerprint(docs, pid: int, n_partitions: int) -> str:
+    """Order-independent content fingerprint of one partition's INPUT:
+    xor of crc32 over (doc_id, spans, mime, size, page selection) per row.
+    This is what makes ``verify_inputs`` able to invalidate a committed
+    partition whose source rows changed — identical ids with edited
+    content produce a different fingerprint."""
+    filtered = docs.map_batches(
+        partition_filter, fn_kwargs={"pid": pid, "n_partitions": n_partitions},
+        batch_format="pyarrow",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc = 0
+        for r in batch.to_pylist():
+            key = repr((r.get("doc_id"), r.get("spans"), r.get("mime_type"),
+                        r.get("file_size"), r.get("start_page"),
+                        r.get("end_page"), r.get("pages")))
+            acc ^= zlib.crc32(key.encode())
+        return pa.table({"acc": pa.array([acc], pa.int64()),
+                         "n": pa.array([batch.num_rows], pa.int64())})
+
+    acc = n = 0
+    for row in filtered.map_batches(partial, batch_format="pyarrow").take_all():
+        acc ^= row["acc"]
+        n += row["n"]
+    return f"{acc:08x}:{n}"
+
+
 def manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest")
 
@@ -90,6 +118,7 @@ def run_with_checkpoint(
     n_partitions: int = 8,
     cfg: PipelineConfig | None = None,
     fail_after: int | None = None,
+    verify_inputs: bool = False,
 ) -> dict:
     """Run extraction partition-by-partition with commit + resume.
 
@@ -100,6 +129,12 @@ def run_with_checkpoint(
     simulating a driver kill; the commit protocol is rename-atomic, so a
     real SIGKILL can only lose an uncommitted temp dir).
 
+    ``verify_inputs=True`` recomputes each committed partition's INPUT
+    content fingerprint on resume and re-executes partitions whose source
+    rows changed (one extra input read per committed partition — the
+    price of change detection; default False skips straight to pending
+    partitions, which is the plain resume-after-crash contract).
+
     Returns {"executed": [pids], "skipped": [pids]}.
     """
     cfg = cfg or PipelineConfig()
@@ -108,9 +143,21 @@ def run_with_checkpoint(
     executed, skipped = [], []
     for pid in range(n_partitions):
         if pid in done:
-            skipped.append(pid)
-            continue
+            if verify_inputs:
+                current_fp = input_fingerprint(make_docs(), pid, n_partitions)
+                if current_fp != done[pid]["input_fingerprint"]:
+                    # source changed -> invalidate and re-run this partition
+                    os.remove(os.path.join(manifest_dir(out_dir), f"part-{pid}.json"))
+                    shutil.rmtree(os.path.join(out_dir, f"part-{pid}"),
+                                  ignore_errors=True)
+                else:
+                    skipped.append(pid)
+                    continue
+            else:
+                skipped.append(pid)
+                continue
         t0 = time.time()
+        in_fp = input_fingerprint(make_docs(), pid, n_partitions)
         ds = make_docs().map_batches(
             partition_filter, fn_kwargs={"pid": pid, "n_partitions": n_partitions},
             batch_format="pyarrow",
@@ -155,10 +202,11 @@ def run_with_checkpoint(
                            os.path.join(tmp, "data.parquet"))
 
         os.rename(tmp, final)
-        fp, n = _fingerprint(ids)
+        out_fp, n = _fingerprint(ids)
         _commit_manifest(out_dir, {
             "partition_id": pid,
-            "input_fingerprint": f"{fp:08x}:{n}",
+            "input_fingerprint": in_fp,
+            "output_ids_fingerprint": f"{out_fp:08x}:{n}",
             "n_rows": n_rows,
             "n_completed": counts.get("completed", 0),
             "n_failed": counts.get("failed", 0) + counts.get("failed_validation", 0),

@@ -12,9 +12,10 @@ Scale design:
   (band, band_hash, doc_id, sig) rows, groupby((band, band_hash)) —
   candidate verification happens inside the group (signature-estimated
   Jaccard), so only bucketed rows shuffle, no pairwise all-to-all.
-* Connected components: min-label propagation via repeated grouped min —
-  driver never holds the full edge set (the small helper union-find is
-  only used under a documented size guard).
+* Connected components: driver union-find under an enforced max_pairs
+  guard (near-dup candidate sets are orders of magnitude smaller than the
+  corpus); `propagate_min_labels` is the grouped-min alternative whose
+  driver-memory bound is O(nodes in the edge set) — see its docstring.
 * Embedding near-dup: the small side is broadcast (ray.put once) and each
   batch does one numpy matmul against it; at true 100 TB scale swap in the
   LSH-bucketed variant in ann.py.
@@ -48,7 +49,13 @@ def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
     """Keep the minimum id per exact text hash. Returns (text_hash, doc_id)."""
 
     def hash_batch(batch: pa.Table) -> pa.Table:
-        hashes = pa.array([_md5(t or "") for t in batch[text_col].to_pylist()], pa.string())
+        # NULL text hashes to a sentinel distinct from md5('') — matches the
+        # oracle SQL's CASE WHEN text IS NULL THEN '__null__' (DuckDB's bare
+        # md5(NULL)=NULL would group differently from empty string)
+        hashes = pa.array(
+            [("__null__" if t is None else _md5(t)) for t in batch[text_col].to_pylist()],
+            pa.string(),
+        )
         return pa.table({"text_hash": hashes, id_col: batch[id_col]})
 
     return (
@@ -206,13 +213,21 @@ def minhash_candidate_pairs(ds: Dataset, threshold: float = 0.8, num_perm: int =
     return pairs.groupby(["a", "b"]).aggregate(Min("est_jaccard", alias_name="est_jaccard"))
 
 
-def minhash_dedup(ds: Dataset, threshold: float = 0.8, **kw) -> Dataset:
+def minhash_dedup(ds: Dataset, threshold: float = 0.8,
+                  max_pairs: int = 5_000_000, **kw) -> Dataset:
     """Cluster near-dups; returns (doc_id, cluster_id) with cluster_id = min
-    member id. Uses driver union-find under a size guard (candidate pairs are
-    tiny relative to the corpus); the iterative grouped-min-label alternative
-    is `propagate_min_labels` below for unbounded edge sets."""
+    member id. Driver union-find guarded by ``max_pairs`` (raises rather
+    than silently OOMing the driver); for larger candidate sets run
+    `propagate_min_labels` shard-by-shard or raise the threshold."""
     id_col = kw.get("id_col", "doc_id")
-    pairs = minhash_candidate_pairs(ds, threshold, **kw).take_all()
+    pairs_ds = minhash_candidate_pairs(ds, threshold, **kw)
+    n_pairs = pairs_ds.count()
+    if n_pairs > max_pairs:
+        raise ValueError(
+            f"{n_pairs} candidate pairs exceed max_pairs={max_pairs}; raise the "
+            f"threshold or use propagate_min_labels on the pair dataset"
+        )
+    pairs = pairs_ds.take_all()
     parent: dict = {}
 
     def find(x):
@@ -238,11 +253,18 @@ def minhash_dedup(ds: Dataset, threshold: float = 0.8, **kw) -> Dataset:
 
 
 def propagate_min_labels(edges: Dataset, n_rounds: int = 8) -> Dataset:
-    """Distributed connected components: iterative min-label propagation.
+    """Iterative min-label propagation for connected components.
 
     edges(a, b) -> labels(node, label). Each round: emit (node, candidate
     label) for both endpoints, grouped min. Converges in O(diameter)
-    rounds; for near-dup clusters (tiny diameters) a handful suffices.
+    rounds; near-dup clusters have tiny diameters so a handful suffices.
+
+    Honest scale note: between rounds the node->label map is pulled to the
+    driver and re-broadcast (Ray Data has no co-group join to keep it
+    distributed), so this holds O(nodes-in-edge-set) driver memory — fine
+    for per-shard dedup where the candidate node set is bounded, NOT a
+    fully unbounded-graph algorithm. It also re-executes `edges` each
+    round; pass a materialized dataset.
     """
     def expand(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_pylist()
@@ -298,11 +320,29 @@ def simhash64(text: str) -> int:
     return out
 
 
-def simhash_buckets(ds: Dataset, n_tables: int = 4, text_col: str = "text",
+def simhash_buckets(ds: Dataset, n_tables: int | None = None, text_col: str = "text",
                     id_col: str = "doc_id", max_hamming: int = 3) -> Dataset:
-    """SimHash near-dup candidate pairs: split the 64-bit hash into
-    ``n_tables`` 16-bit keys (pigeonhole: hamming<=3 pairs share at least
-    one key when n_tables=4); exact hamming check inside each bucket."""
+    """SimHash near-dup candidate pairs.
+
+    Pigeonhole guarantee: splitting the 64-bit hash into ``k`` blocks
+    guarantees that any pair with hamming distance <= k-1 agrees on at
+    least one whole block, so ``n_tables`` defaults to ``max_hamming + 1``
+    (never fewer — a caller-supplied smaller value is raised on, it would
+    silently miss pairs). Exact hamming check inside each bucket.
+    """
+    required = max_hamming + 1
+    if n_tables is None:
+        n_tables = required
+    elif n_tables < required:
+        raise ValueError(
+            f"n_tables={n_tables} cannot guarantee hamming<={max_hamming}; "
+            f"need at least {required} blocks (pigeonhole)"
+        )
+    # contiguous block boundaries over the 64 bits (first blocks get the
+    # remainder bit)
+    base, rem = divmod(64, n_tables)
+    widths = [base + (1 if t < rem else 0) for t in range(n_tables)]
+    starts = [sum(widths[:t]) for t in range(n_tables)]
 
     def sim_batch(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -311,7 +351,7 @@ def simhash_buckets(ds: Dataset, n_tables: int = 4, text_col: str = "text",
         for did, text in zip(ids, texts):
             h = simhash64(text)
             for t in range(n_tables):
-                k_out.append((h >> (t * 16)) & 0xFFFF)
+                k_out.append((h >> starts[t]) & ((1 << widths[t]) - 1))
                 t_out.append(t)
                 i_out.append(did)
                 h_out.append(h)

@@ -65,30 +65,45 @@ def sanitize_content(content: str, content_format: str) -> str:
 def apply_edits(extracted: Dataset, edits: dict[str, tuple[str, str]]) -> Dataset:
     """Apply {doc_id: (edited_content, format)} to the extracted table.
 
-    Adds ``edited_content`` / ``content_format`` columns; rows for
-    non-completed docs raise EditRejected eagerly (driver-side check on
-    the small edit dict — status is validated against the table).
-    Original spans are never modified.
+    Pre-flight (driver-side, before any distributed work): every target
+    doc must exist and be COMPLETED — EditRejected otherwise (the
+    reference 404s unknown documents and 400s non-completed ones,
+    UpdateOcrContentImpl.java:61-70). The attach pass then never raises in
+    workers. Original spans are never modified.
     """
+    import ray
+
+    target_ids = set(edits)
+    id_ref = ray.put(frozenset(target_ids))
+
+    def pick_status(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(id_ref)
+        mask = pa.array([d in wanted for d in batch["doc_id"].to_pylist()], pa.bool_())
+        return batch.filter(mask).select(["doc_id", "status"])
+
+    found = {r["doc_id"]: r["status"]
+             for r in extracted.map_batches(pick_status, batch_format="pyarrow").take_all()}
+    missing = target_ids - set(found)
+    if missing:
+        raise EditRejected(f"OCR data not found for document ID: {sorted(missing)[0]}")
+    for d, s in found.items():
+        if s != "completed":
+            raise EditRejected(
+                f"Cannot edit content for a document that has not completed "
+                f"OCR processing. Current status: {s}"
+            )
+
     sanitized = {
         d: (sanitize_content(c, f), f.upper()) for d, (c, f) in edits.items()
     }
-    import ray
-
     ref = ray.put(sanitized)
 
     def attach(batch: pa.Table) -> pa.Table:
         table_edits = ray.get(ref)
         ids = batch["doc_id"].to_pylist()
-        statuses = batch["status"].to_pylist()
         contents, formats = [], []
-        for d, s in zip(ids, statuses):
+        for d in ids:
             if d in table_edits:
-                if s != "completed":
-                    raise EditRejected(
-                        f"Cannot edit content for a document that has not completed "
-                        f"OCR processing. Current status: {s}"
-                    )
                 c, f = table_edits[d]
                 contents.append(c)
                 formats.append(f)

@@ -47,12 +47,19 @@ def parse_llm_json(raw: str | None) -> dict:
         obj = json.loads(cleaned)
         if not isinstance(obj, dict):
             return dict(LLM_DEFAULTS)
-    except (json.JSONDecodeError, ValueError):
+        doc_type = obj.get("document_type") or LLM_DEFAULTS["document_type"]
+        tags = obj.get("tags")
+        if isinstance(tags, str):
+            tags = [t.strip() for t in tags.split(",") if t.strip()]
+        if not isinstance(tags, list) or not tags:
+            tags = list(LLM_DEFAULTS["tags"])
+        confidence = float(obj.get("confidence") or 0.0)
+    except (json.JSONDecodeError, ValueError, TypeError):
         return dict(LLM_DEFAULTS)
     return {
-        "document_type": obj.get("document_type") or LLM_DEFAULTS["document_type"],
-        "tags": obj.get("tags") or list(LLM_DEFAULTS["tags"]),
-        "confidence": float(obj.get("confidence") or 0.0),
+        "document_type": str(doc_type),
+        "tags": [str(t) for t in tags],
+        "confidence": confidence,
     }
 
 

@@ -29,7 +29,13 @@ def _pq(sf_dir: str, table: str, columns: list[str] | None = None) -> Dataset:
 
 
 def _cents(batch: pa.Table, src: str, dst: str) -> pa.Table:
-    c = pc.cast(pc.round(pc.multiply(batch[src], pa.scalar(100.0))), pa.int64())
+    # half_towards_infinity matches DuckDB ROUND() (half away from zero);
+    # pyarrow's default half_to_even would diverge on exact .5-cent inputs
+    c = pc.cast(
+        pc.round(pc.multiply(batch[src], pa.scalar(100.0)),
+                 round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
     return batch.append_column(dst, c)
 
 
@@ -67,9 +73,10 @@ def lineitem_pricing(sf_dir: str) -> Dataset:
     )
 
     def derive(batch: pa.Table) -> pa.Table:
-        qty = pc.cast(pc.round(batch["l_quantity"]), pa.int64())
-        price_c = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], pa.scalar(100.0))), pa.int64())
-        disc_bp = pc.cast(pc.round(pc.multiply(batch["l_discount"], pa.scalar(100.0))), pa.int64())
+        rm = {"round_mode": "half_towards_infinity"}  # DuckDB ROUND parity
+        qty = pc.cast(pc.round(batch["l_quantity"], **rm), pa.int64())
+        price_c = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], pa.scalar(100.0)), **rm), pa.int64())
+        disc_bp = pc.cast(pc.round(pc.multiply(batch["l_discount"], pa.scalar(100.0)), **rm), pa.int64())
         # disc_price_cents = price_cents * (100 - disc_basis_points) — exact ints
         disc_price_c = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_bp))
         return pa.table(

@@ -26,27 +26,38 @@ def read_docs(path: str, columns: list[str] | None = None) -> Dataset:
 
 def ingest_binary_files(paths: str | list[str]) -> Dataset:
     """Raw file ingest -> DOCS-shaped rows (S1 multipart ingest,
-    DocumentUploadImpl.java:53-228): each file becomes a single-span doc
-    whose media payload stays a binary column; validation happens in the
-    pipeline, not here (partial-success semantics)."""
+    DocumentUploadImpl.java:53-228).
+
+    Content routing: text/html files carry their decoded CONTENT in the
+    span (so downstream extraction actually uses the bytes read here);
+    image/pdf payloads stay behind ``media_ref`` pointers the OCR provider
+    fetches (large blobs never ride span rows). Validation happens in the
+    pipeline, not here (partial-success semantics).
+    """
     ds = ray.data.read_binary_files(paths, include_paths=True)
 
     def to_doc(batch: pa.Table) -> pa.Table:
         paths_col = batch["path"].to_pylist()
-        sizes = [len(b) for b in batch["bytes"].to_pylist()]
+        payloads = batch["bytes"].to_pylist()
         rows = []
-        for p, size in zip(paths_col, sizes):
+        for p, payload in zip(paths_col, payloads):
             ext = p.rsplit(".", 1)[-1].lower() if "." in p else ""
             mime = {
                 "png": "image/png", "jpg": "image/jpeg", "jpeg": "image/jpeg",
                 "gif": "image/gif", "pdf": "application/pdf",
                 "html": "text/html", "txt": "text/plain",
             }.get(ext, "application/octet-stream")
+            if mime in ("text/html", "text/plain"):
+                text = payload.decode("utf-8", errors="replace")
+                span = {"kind": "html" if mime == "text/html" else "text",
+                        "text": text, "media_ref": None, "offset": 0}
+            elif mime.startswith("image"):
+                span = {"kind": "image", "text": None, "media_ref": p, "offset": 0}
+            else:
+                span = {"kind": "pdf_page", "text": None, "media_ref": p, "offset": 0}
             rows.append({
-                "doc_id": p, "collection_id": "ingest",
-                "spans": [{"kind": "image" if mime.startswith("image") else "pdf_page",
-                           "text": None, "media_ref": p, "offset": 0}],
-                "mime_type": mime, "file_size": size, "lang": "eng",
+                "doc_id": p, "collection_id": "ingest", "spans": [span],
+                "mime_type": mime, "file_size": len(payload), "lang": "eng",
                 "start_page": None, "end_page": None, "pages": None,
             })
         from .schema import DOCS_SCHEMA

@@ -203,15 +203,19 @@ def apply_ocr(batch: pa.Table, registry: ProviderRegistry) -> pa.Table:
     langs = batch["lang"].to_pylist()
     text = batch["text"].to_pylist()
     errors = batch["error_message"].to_pylist()
-    lang = langs[idx[0]] if idx.size else None
-    outputs, names = registry.extract_batch([media[i] for i in idx], lang)
-    for j, i in enumerate(idx):
-        o = outputs[j]
-        provider_col[i] = names[j]
-        if o.success:
-            text[i] = o.text
-        else:
-            errors[i] = o.error_message
+    # group by language: a batch mixes rows from many docs, and a real
+    # engine loads language-specific models — one extract_batch per lang
+    by_lang: dict = {}
+    for i in idx:
+        by_lang.setdefault(langs[i], []).append(i)
+    for lang, rows in by_lang.items():
+        outputs, names = registry.extract_batch([media[i] for i in rows], lang)
+        for o, name, i in zip(outputs, names, rows):
+            provider_col[i] = name
+            if o.success:
+                text[i] = o.text
+            else:
+                errors[i] = o.error_message
     batch = batch.set_column(
         batch.column_names.index("text"), "text", pa.array(text, pa.string())
     )
