@@ -198,6 +198,15 @@ def _image_decode(sf_dir: str):
     return decode_images(ray.data.from_arrow(blobs))
 
 
+def _ai_enrich(sf_dir: str):
+    from unravel_ray.ai import enrich, tags_as_list
+    from unravel_ray.pipeline import run_flagship
+
+    return tags_as_list(enrich(run_flagship(sf_dir))).select_columns(
+        ["doc_id", "status", "ai_summary", "document_type", "ai_tags", "ai_confidence"]
+    )
+
+
 def _quarantine(sf_dir: str):
     from unravel_ray.edits import build_quarantine
     from unravel_ray.pipeline import run_flagship
@@ -304,6 +313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": _minhash_clusters,
         "extract_then_neardup": _extract_then_neardup,
         "quarantine": _quarantine,
+        "ai_enrich": _ai_enrich,
         "search_projection": _search_projection,
         "export_markdown": _export_markdown,
     }
