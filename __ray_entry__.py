@@ -203,7 +203,8 @@ def _ai_enrich(sf_dir: str):
     from unravel_ray.pipeline import run_flagship
 
     return tags_as_list(enrich(run_flagship(sf_dir))).select_columns(
-        ["doc_id", "status", "ai_summary", "document_type", "ai_tags", "ai_confidence"]
+        ["doc_id", "status", "ai_summary", "document_type", "ai_tags",
+         "ai_tags_list", "ai_confidence"]
     )
 
 
@@ -475,13 +476,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_sessions": """
             WITH flagged AS (
-              SELECT user_id, ts,
+              SELECT user_id, ts, event_id,
                      CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
                           OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             numbered AS (
               SELECT user_id, ts,
-                     SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS session_id
               FROM flagged)
             SELECT user_id, MIN(ts) AS session_start,

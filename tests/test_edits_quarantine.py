@@ -104,3 +104,14 @@ def test_apply_edits_preflight_unknown_and_incomplete(ray_session):
         apply_edits(_extracted(), {"nope": ("x", "MARKDOWN")})
     with pytest.raises(EditRejected, match="not completed"):
         apply_edits(_extracted(), {"d2": ("x", "MARKDOWN")})
+
+
+def test_sanitize_escaping_not_bypassable():
+    # escaped markup in TEXT must stay inert after re-serialization
+    out = sanitize_html("<p>&lt;script&gt;alert(1)&lt;/script&gt;</p>")
+    assert "<script>" not in out
+    assert "&lt;script&gt;" in out
+    # quotes in href cannot break out into new attributes
+    out2 = sanitize_html('<a href=\'https://x/" onclick="evil()\'>x</a>')
+    assert "onclick" not in out2.replace("&quot;", "")or 'href="https://x/&quot;' in out2
+    assert 'onclick="' not in out2

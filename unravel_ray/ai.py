@@ -113,13 +113,37 @@ class AiEnrichStage:
         )
 
 
-def enrich(extracted: Dataset, concurrency=2, batch_size: int = 64) -> Dataset:
-    """Enrichment pipeline entry. The fake provider runs as tasks-friendly
-    actors; a real warm-state model keeps the pool."""
-    return extracted.map_batches(
-        AiEnrichStage, batch_format="pyarrow",
-        batch_size=batch_size, concurrency=concurrency,
-    )
+def enrich(extracted: Dataset, provider_cls: type[LlmProvider] = FakeLlmProvider,
+           concurrency=2, batch_size: int = 64,
+           max_input_length: int = MAX_INPUT_LENGTH) -> Dataset:
+    """Enrichment pipeline entry, parameterized by the LlmProvider SPI.
+
+    Scheduling honors ``provider_cls.requires_warm_state`` (same rule as
+    the OCR stage): a heavyweight client gets a dedicated actor pool with
+    the provider built once per actor; a stateless provider runs as tasks
+    with a per-worker cache.
+    """
+    if provider_cls.requires_warm_state:
+        return extracted.map_batches(
+            AiEnrichStage,
+            fn_constructor_kwargs={"provider": provider_cls(),
+                                   "max_input_length": max_input_length},
+            batch_format="pyarrow",
+            batch_size=batch_size, concurrency=concurrency,
+        )
+
+    def task(batch: pa.Table) -> pa.Table:
+        stage = _STAGE_CACHE.get(provider_cls)
+        if stage is None:
+            stage = _STAGE_CACHE[provider_cls] = AiEnrichStage(
+                provider_cls(), max_input_length
+            )
+        return stage(batch)
+
+    return extracted.map_batches(task, batch_format="pyarrow", batch_size=batch_size)
+
+
+_STAGE_CACHE: dict[type, "AiEnrichStage"] = {}
 
 
 def tags_as_list(enriched: Dataset) -> Dataset:

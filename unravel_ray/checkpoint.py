@@ -129,11 +129,13 @@ def run_with_checkpoint(
     simulating a driver kill; the commit protocol is rename-atomic, so a
     real SIGKILL can only lose an uncommitted temp dir).
 
-    ``verify_inputs=True`` recomputes each committed partition's INPUT
-    content fingerprint on resume and re-executes partitions whose source
-    rows changed (one extra input read per committed partition — the
-    price of change detection; default False skips straight to pending
-    partitions, which is the plain resume-after-crash contract).
+    Every executed partition's manifest records an INPUT content
+    fingerprint (one extra input scan per executed partition — the
+    lineage cost that makes change detection possible at all).
+    ``verify_inputs=True`` additionally recomputes committed partitions'
+    fingerprints on resume and re-executes those whose source rows
+    changed; default False skips straight to pending partitions (the
+    plain resume-after-crash contract).
 
     Returns {"executed": [pids], "skipped": [pids]}.
     """
@@ -146,18 +148,25 @@ def run_with_checkpoint(
             if verify_inputs:
                 current_fp = input_fingerprint(make_docs(), pid, n_partitions)
                 if current_fp != done[pid]["input_fingerprint"]:
-                    # source changed -> invalidate and re-run this partition
-                    os.remove(os.path.join(manifest_dir(out_dir), f"part-{pid}.json"))
+                    # source changed -> invalidate and re-run this partition.
+                    # Data dir first, manifest second: a crash in between
+                    # leaves a manifest-less dir that the rerun's rmtree
+                    # cleans up; the reverse order would orphan stale data
+                    # behind a fresh-looking manifest gap.
                     shutil.rmtree(os.path.join(out_dir, f"part-{pid}"),
                                   ignore_errors=True)
+                    os.remove(os.path.join(manifest_dir(out_dir), f"part-{pid}.json"))
+                    known_fp = current_fp  # reuse — identical input, no rescan
                 else:
                     skipped.append(pid)
                     continue
             else:
                 skipped.append(pid)
                 continue
+        else:
+            known_fp = None
         t0 = time.time()
-        in_fp = input_fingerprint(make_docs(), pid, n_partitions)
+        in_fp = known_fp or input_fingerprint(make_docs(), pid, n_partitions)
         ds = make_docs().map_batches(
             partition_filter, fn_kwargs={"pid": pid, "n_partitions": n_partitions},
             batch_format="pyarrow",

@@ -220,8 +220,8 @@ def minhash_dedup(ds: Dataset, threshold: float = 0.8,
     than silently OOMing the driver); for larger candidate sets run
     `propagate_min_labels` shard-by-shard or raise the threshold."""
     id_col = kw.get("id_col", "doc_id")
-    pairs_ds = minhash_candidate_pairs(ds, threshold, **kw)
-    n_pairs = pairs_ds.count()
+    pairs_ds = minhash_candidate_pairs(ds, threshold, **kw).materialize()
+    n_pairs = pairs_ds.count()  # free on the materialized plan
     if n_pairs > max_pairs:
         raise ValueError(
             f"{n_pairs} candidate pairs exceed max_pairs={max_pairs}; raise the "

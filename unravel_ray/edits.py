@@ -36,9 +36,14 @@ def sanitize_html(content: str) -> str:
     re-serialize surviving structure (M8). Text-level equivalent of
     Jsoup.clean with the reference safelist."""
 
+    import html as _html
+
     def render(node) -> str:
         if isinstance(node, str):
-            return node
+            # re-escape text: the parser decoded charrefs, so '&lt;script&gt;'
+            # became '<script>' as TEXT — serializing it raw would turn inert
+            # escaped content back into live markup
+            return _html.escape(node, quote=False)
         inner = "".join(render(c) for c in node.children)
         if node.tag == "#root":
             return inner
@@ -48,7 +53,7 @@ def sanitize_html(content: str) -> str:
         if node.tag == "a" and "href" in node.attrs:
             href = node.attrs["href"]
             if href.split(":", 1)[0].lower() in {"http", "https", "mailto"} or ":" not in href:
-                attrs = f' href="{href}"'
+                attrs = f' href="{_html.escape(href, quote=True)}"'
         return f"<{node.tag}{attrs}>{inner}</{node.tag}>"
 
     return render(strip_boilerplate(parse_fragment(content)))

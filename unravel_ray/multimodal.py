@@ -136,17 +136,20 @@ class AudioFeatureStage:
 
     SAMPLE_RATE = 16_000
 
-    def __init__(self, blob_col: str = "blob"):
+    def __init__(self, blob_col: str = "blob", backend: str = "fake"):
+        # backend is an explicit choice (like ImageDecodeStage): the fake
+        # must keep working even when a real codec happens to be installed
         self.blob_col = blob_col
+        self.backend = backend
 
     def decode(self, blob: bytes) -> np.ndarray:
-        try:
-            import soundfile  # type: ignore  # noqa: F401
-        except ImportError:
+        if self.backend == "fake":
             seed = int.from_bytes(hashlib.blake2b(blob or b"", digest_size=8).digest(), "big")
             rng = np.random.RandomState(seed % (2**32))
             n = self.SAMPLE_RATE * (1 + seed % 5)  # 1-5 s deterministic
             return (rng.standard_normal(n) * 0.1).astype(np.float32)
+        import soundfile  # type: ignore  # noqa: F401
+
         raise NotImplementedError("wire soundfile decode here")
 
     def __call__(self, batch: pa.Table) -> pa.Table:

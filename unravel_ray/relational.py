@@ -126,8 +126,10 @@ def user_event_totals(sf_dir: str) -> Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         b = _cents(batch, "value", "value_cents")
+        # count_all (row count) matches the oracle's COUNT(*) even with
+        # NULL values; ('value_cents','count') would skip them
         g = pa.TableGroupBy(b.select(["user_id", "value_cents"]), "user_id").aggregate(
-            [("value_cents", "sum"), ("value_cents", "count")]
+            [("value_cents", "sum"), ([], "count_all")]
         )
         return g.rename_columns(["user_id", "value_cents", "n"])
 
@@ -289,7 +291,7 @@ def event_hourly_windows(sf_dir: str) -> Dataset:
             "value_cents": b["value_cents"],
         })
         g = pa.TableGroupBy(t, ["user_id", "window_start"]).aggregate(
-            [("value_cents", "sum"), ("value_cents", "count")]
+            [("value_cents", "sum"), ([], "count_all")]  # COUNT(*) parity
         )
         return g.rename_columns(["user_id", "window_start", "value_cents", "n"])
 
