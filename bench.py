@@ -123,6 +123,9 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
+    if "GRAFT_SYNTH_DOCS" not in os.environ:
+        os.environ["GRAFT_SYNTH_DOCS"] = "240000"  # scaling corpus (BASELINE.md §C)
+
     def one(ncpu: int, only_synth: bool = False) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         if only_synth:
@@ -132,8 +135,12 @@ def run_scaling() -> dict:
                              cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(res.stdout.strip().splitlines()[-1])
 
-    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
-    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    # Defaults = the headline protocol recorded in BASELINE.md §D: 4 -> 16
+    # CPUs (the honest N -> 4N *node* proxy on this DRAM-shared host; see
+    # §C/§D discussion — 8 -> 32 is also measured there) over the 240k-doc
+    # corpus (T_lo >= 60 s amortizes startup).
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
     r_lo, r_hi = one(lo), one(hi)
     # efficiency is measured on the flagship synth pipeline — the headline
     # job; the small sf-table queries are fixed-overhead-bound at this
