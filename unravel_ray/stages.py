@@ -144,25 +144,30 @@ def _explode_doc_cols(out: _UnitColumns, doc_id, collection_id, mime, size,
     n_spans = len(spans_in)
     size_bucket = 0 if n_spans <= 16 else (1 if n_spans <= 64 else 2)
     emitted = 0
+    seq = 0  # doc-global emission sequence: reassembly sorts (offset, sub),
+             # and a per-span-restarting sub would interleave units of two
+             # input spans sharing an offset; the global counter preserves
+             # the oracle's stable input order exactly
     pdf_done = False
     for s in spans_in:
         kind, off = s["kind"], s["offset"]
         if kind == "html":
-            for j, (k, t) in enumerate(extract_html_spans(s["text"] or "")):
-                out.add(*base, kind=k, text=t, offset=off, sub=j,
+            for k, t in extract_html_spans(s["text"] or ""):
+                out.add(*base, kind=k, text=t, offset=off, sub=seq,
                         size_bucket=size_bucket)
+                seq += 1
                 emitted += 1
         elif kind == "text":
-            j = 0
             for line in split_plain_text(s["text"]):
                 if line:
-                    out.add(*base, kind="text", text=line, offset=off, sub=j,
+                    out.add(*base, kind="text", text=line, offset=off, sub=seq,
                             size_bucket=size_bucket)
-                    j += 1
+                    seq += 1
                     emitted += 1
         elif kind == "image":
             out.add(*base, kind="image", media_ref=s["media_ref"], offset=off,
-                    needs_ocr=True, size_bucket=size_bucket)
+                    sub=seq, needs_ocr=True, size_bucket=size_bucket)
+            seq += 1
             emitted += 1
         elif kind == "pdf_page":
             if pdf_done:
@@ -170,22 +175,25 @@ def _explode_doc_cols(out: _UnitColumns, doc_id, collection_id, mime, size,
             pdf_done = True
             sel_pages = [(i + 1, pdf_pages[i]["text"]) for i in selected]
             if needs_ocr_mode(sel_pages):
-                for j, i in enumerate(selected):
+                for i in selected:
                     out.add(*base, kind="pdf_page",
                             media_ref=pdf_pages[i]["media_ref"], offset=off,
-                            sub=j, page_no=i + 1, needs_ocr=True,
+                            sub=seq, page_no=i + 1, needs_ocr=True,
                             pdf_mode="ocr", size_bucket=size_bucket)
+                    seq += 1
                     emitted += 1
             else:
-                for j, i in enumerate(selected):
+                for i in selected:
                     out.add(*base, kind="pdf_page", text=pdf_pages[i]["text"],
-                            offset=off, sub=j, page_no=i + 1,
+                            offset=off, sub=seq, page_no=i + 1,
                             pdf_mode="direct", size_bucket=size_bucket)
+                    seq += 1
                     emitted += 1
         elif s.get("text") or s.get("media_ref"):
             out.add(*base, kind=kind, text=s.get("text"),
-                    media_ref=s.get("media_ref"), offset=off,
+                    media_ref=s.get("media_ref"), offset=off, sub=seq,
                     size_bucket=size_bucket)
+            seq += 1
             emitted += 1
     if not emitted:
         out.add(*base)
