@@ -97,3 +97,23 @@ def test_is_html_sniff():
     assert is_html("<ul><li>x</li></ul>")
     assert not is_html("just text with <div>")
     assert not is_html(None)
+
+
+def test_table_cells_recurse_to_fallback_paragraphs():
+    # tables are unknown containers: recursion reaches the td leaves
+    # (DocxExportServiceImpl.java default branch)
+    html = "<table><tr><td>cell one</td><td>cell two</td></tr></table>"
+    assert extract_html_spans(html) == [("text", "cell one"), ("text", "cell two")]
+
+
+def test_nested_list_items():
+    html = "<ul><li>outer</li><li><ul><li>inner</li></ul></li></ul>"
+    spans = extract_html_spans(html)
+    # outer li is a list_item; the li wrapping a nested ul renders its text
+    assert ("list_item", "outer") in spans
+    assert any("inner" in t for _, t in spans)
+
+
+def test_deeply_nested_containers():
+    html = "<div><section><article><p>deep</p></article></section></div>"
+    assert extract_html_spans(html) == [("text", "deep")]
