@@ -118,3 +118,14 @@ def test_minhash_dedup_pair_guard(ray_session):
 
     with _pt.raises(ValueError, match="max_pairs"):
         minhash_dedup(_docs(), threshold=0.1, max_pairs=0)
+
+
+def test_distributed_components_match_union_find(ray_session):
+    from unravel_ray.dedup import propagate_min_labels_distributed
+
+    # two chains and a triangle; singletons excluded by construction
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)]
+    ds = ray.data.from_items([{"a": a, "b": b} for a, b in edges]).materialize()
+    got = {r["node"]: r["label"]
+           for r in propagate_min_labels_distributed(ds, n_rounds=6).take_all()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

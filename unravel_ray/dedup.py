@@ -225,7 +225,7 @@ def minhash_dedup(ds: Dataset, threshold: float = 0.8,
     if n_pairs > max_pairs:
         raise ValueError(
             f"{n_pairs} candidate pairs exceed max_pairs={max_pairs}; raise the "
-            f"threshold or use propagate_min_labels on the pair dataset"
+            f"threshold or cluster with propagate_min_labels_distributed"
         )
     pairs = pairs_ds.take_all()
     parent: dict = {}
@@ -491,3 +491,68 @@ def embedding_neardup(ds: Dataset, threshold: float = 0.95,
                          "cos": pa.array(rows_c, pa.float64())})
 
     return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def propagate_min_labels_distributed(edges: Dataset, n_rounds: int = 8) -> Dataset:
+    """Connected components with NO driver-held state — the 100 TB path.
+
+    Each round is two slim shuffles (int64 columns only):
+
+    1. co-group: union the current label rows with both directions of the
+       edge list, ``groupby(node)`` — each group sees the node's current
+       label plus its neighbors — and emit (neighbor, label) candidates
+       alongside (node, label);
+    2. ``groupby(node).min(label)`` folds candidates into new labels.
+
+    Converges in O(max component diameter) rounds (near-dup clusters are
+    shallow). Pass a materialized ``edges`` dataset; labels stay
+    distributed end to end, unlike `propagate_min_labels`.
+    Returns labels(node, label).
+    """
+
+    def seed_labels(batch: pa.Table) -> pa.Table:
+        nodes = batch["a"].to_pylist() + batch["b"].to_pylist()
+        return pa.table({"node": pa.array(nodes, pa.int64()),
+                         "label": pa.array(nodes, pa.int64()),
+                         "peer": pa.array([None] * len(nodes), pa.int64())})
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        return pa.table({"node": pa.array(a + b, pa.int64()),
+                         "label": pa.array([None] * (len(a) + len(b)), pa.int64()),
+                         "peer": pa.array(b + a, pa.int64())})
+
+    labels = (
+        edges.map_batches(seed_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+    )
+    edge_ds = edges.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    for _ in range(n_rounds):
+        def with_peer(batch: pa.Table) -> pa.Table:
+            return batch.append_column("peer", pa.array([None] * batch.num_rows, pa.int64()))
+
+        unioned = labels.map_batches(with_peer, batch_format="pyarrow").union(edge_ds)
+
+        def emit_candidates(group: pa.Table) -> pa.Table:
+            labs = [x for x in group["label"].to_pylist() if x is not None]
+            if not labs:  # node with edges but label rows in another block? impossible post-groupby
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "label": pa.array([], pa.int64())})
+            lab = min(labs)
+            node = group["node"][0].as_py()
+            peers = [p for p in group["peer"].to_pylist() if p is not None]
+            return pa.table({
+                "node": pa.array([node] + peers, pa.int64()),
+                "label": pa.array([lab] * (1 + len(peers)), pa.int64()),
+            })
+
+        labels = (
+            unioned.groupby("node")
+            .map_groups(emit_candidates, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+        )
+    return labels
