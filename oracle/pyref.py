@@ -18,7 +18,9 @@ leaf modules):
 
 1. Validation (M7): bad MIME or size > 10 MB -> status='failed_validation',
    no spans, error message; row retained.
-2. Page selection (M3) applies to the doc's pdf_page span sequence
+2. storage_error set -> status='failed_storage' (upload failed; row
+   retained — DocumentUploadImplTest storage-failure matrix).
+3. Page selection (M3) applies to the doc's pdf_page span sequence
    (1-indexed by position in that sequence); invalid selection ->
    'failed_validation'.
 3. Span walk in input-offset order:
@@ -73,6 +75,12 @@ def extract_doc(doc: dict) -> dict:
         out["error_message"] = (
             f"The file size must not exceed {SINGLE_FILE_MAX_BYTES // (1024 * 1024)} MB."
         )
+        out["provider"] = None
+        return out
+
+    if doc.get("storage_error"):
+        out["status"] = "failed_storage"
+        out["error_message"] = doc["storage_error"]
         out["provider"] = None
         return out
 
@@ -165,7 +173,7 @@ def rollup_collections(extracted: list[dict]) -> dict[str, dict]:
         c["n_docs"] += 1
         if row["status"] == "completed":
             c["n_completed"] += 1
-        elif row["status"] in ("failed", "failed_validation"):
+        elif row["status"] in ("failed", "failed_validation", "failed_storage"):
             c["n_failed"] += 1
         else:
             c["n_pending"] += 1

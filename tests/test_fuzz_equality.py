@@ -58,6 +58,8 @@ def doc(draw, idx):
         "start_page": start,
         "end_page": end,
         "pages": pages,
+        "storage_error": draw(st.sampled_from(
+            [None, None, None, "Failed to upload file to storage."])),
     }
 
 

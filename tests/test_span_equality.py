@@ -74,7 +74,7 @@ def test_status_error_provider_accounting(pipeline_out, oracle_out):
 
 def test_corpus_exercises_all_paths(oracle_out):
     statuses = {r["status"] for r in oracle_out.values()}
-    assert statuses == {"completed", "failed", "failed_validation"}
+    assert statuses == {"completed", "failed", "failed_validation", "failed_storage"}
     kinds = {s["kind"] for r in oracle_out.values() for s in r["spans"]}
     assert {"heading", "text", "list_item", "pdf_text", "ocr_text"} <= kinds
     # whales present

@@ -180,7 +180,12 @@ def ivf_topk(ds: Dataset, queries: np.ndarray, k: int = 10, n_centroids: int = 1
     """
     import ray as _ray
 
-    sample = [r[vec_col] for r in ds.limit(sample_rows).take_all()]
+    # deterministic unbiased sample: limit() would take only the first
+    # fragments; random_sample hashes uniformly across the dataset
+    n_total = ds.count()
+    frac = min(1.0, sample_rows / max(n_total, 1))
+    sample_ds = ds if frac >= 1.0 else ds.random_sample(frac, seed=seed)
+    sample = [r[vec_col] for r in sample_ds.take_all()]
     cents = _kmeans_fit(np.stack(sample), n_centroids, seed=seed)
     cents_ref = _ray.put(cents)
 

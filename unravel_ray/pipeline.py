@@ -176,14 +176,16 @@ def build_rollup(extracted: Dataset) -> Dataset:
         status = batch["status"]
         completed = pc.cast(pc.equal(status, "completed"), pa.int64())
         failed = pc.cast(
-            pc.is_in(status, value_set=pa.array(["failed", "failed_validation"])),
+            pc.is_in(status, value_set=pa.array(
+                ["failed", "failed_validation", "failed_storage"])),
             pa.int64(),
         )
         pending = pc.cast(
             pc.invert(
                 pc.is_in(
                     status,
-                    value_set=pa.array(["completed", "failed", "failed_validation"]),
+                    value_set=pa.array(
+                        ["completed", "failed", "failed_validation", "failed_storage"]),
                 )
             ),
             pa.int64(),

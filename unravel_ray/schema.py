@@ -42,6 +42,10 @@ DOCS_SCHEMA = pa.schema(
         pa.field("start_page", pa.int32()),   # nullable
         pa.field("end_page", pa.int32()),     # nullable
         pa.field("pages", pa.list_(pa.int32())),  # nullable discrete selection
+        # set when the upload/storage step failed for this file; the doc is
+        # retained with status='failed_storage' (partial-success matrix,
+        # reference DocumentUploadImplTest storage-failure rows)
+        pa.field("storage_error", pa.string()),
     ]
 )
 
@@ -54,7 +58,7 @@ EXTRACTED_SCHEMA = pa.schema(
         pa.field("doc_id", pa.string()),
         pa.field("collection_id", pa.string()),
         pa.field("spans", pa.list_(SPAN_STRUCT)),
-        pa.field("status", pa.string()),          # completed|failed|failed_validation
+        pa.field("status", pa.string()),          # completed|failed|failed_validation|failed_storage
         pa.field("error_message", pa.string()),   # nullable
         pa.field("provider", pa.string()),        # which OCR provider served this doc
         pa.field("n_spans", pa.int32()),

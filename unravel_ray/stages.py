@@ -103,6 +103,7 @@ def explode_extract(batch: pa.Table) -> pa.Table:
     pgs = col("pages")
     spans_col = col("spans")
     prechecks = col("precheck_error")  # upstream gates (e.g. total-size cap)
+    storage_errs = col("storage_error")  # upload failures, rows retained
 
     out = _UnitColumns()
     for i in range(batch.num_rows):
@@ -111,12 +112,14 @@ def explode_extract(batch: pa.Table) -> pa.Table:
                     doc_status="failed_validation", error_message=prechecks[i])
             continue
         _explode_doc_cols(out, doc_ids[i], colls[i], mimes[i], sizes[i],
-                          langs[i], sps[i], eps[i], pgs[i], spans_col[i])
+                          langs[i], sps[i], eps[i], pgs[i], spans_col[i],
+                          storage_errs[i])
     return out.table()
 
 
 def _explode_doc_cols(out: _UnitColumns, doc_id, collection_id, mime, size,
-                      lang, start_page, end_page, pages, spans) -> None:
+                      lang, start_page, end_page, pages, spans,
+                      storage_error=None) -> None:
     base = (doc_id, collection_id, lang)
     if mime not in ALLOWED_MIMES:
         out.add(*base, doc_status="failed_validation",
@@ -126,6 +129,11 @@ def _explode_doc_cols(out: _UnitColumns, doc_id, collection_id, mime, size,
         out.add(*base, doc_status="failed_validation",
                 error_message=(f"The file size must not exceed "
                                f"{SINGLE_FILE_MAX_BYTES // (1024 * 1024)} MB."))
+        return
+    if storage_error:
+        # upload failed; row retained with its error (partial-success
+        # matrix, DocumentUploadImplTest storage-failure rows)
+        out.add(*base, doc_status="failed_storage", error_message=storage_error)
         return
 
     spans_in = sorted(spans or [], key=lambda s: s["offset"])
@@ -325,7 +333,9 @@ def _pack_rows(rows: list[dict]) -> list[dict]:
                 "doc_id": r["doc_id"],
                 "collection_id": r["collection_id"],
                 "doc_status": r["doc_status"],
-                "val_error": r["error_message"] if r["doc_status"] == "failed_validation" else None,
+                "val_error": (r["error_message"]
+                               if r["doc_status"] in ("failed_validation", "failed_storage")
+                               else None),
                 "units": [],
             }
         if r["kind"] is not None or r["error_message"]:
@@ -353,7 +363,7 @@ def _merge_partial_rows(partials: list[dict]) -> list[dict]:
             merged[r["doc_id"]] = r
         else:
             d["units"].extend(r["units"])
-            if r["doc_status"] == "failed_validation":
+            if r["doc_status"] in ("failed_validation", "failed_storage"):
                 d["doc_status"] = r["doc_status"]
                 d["val_error"] = d["val_error"] or r["val_error"]
     out = []
@@ -364,7 +374,7 @@ def _merge_partial_rows(partials: list[dict]) -> list[dict]:
             u["doc_id"] = p["doc_id"]
             u["collection_id"] = p["collection_id"]
             u["doc_status"] = p["doc_status"]
-        if p["doc_status"] == "failed_validation" or not units:
+        if p["doc_status"] in ("failed_validation", "failed_storage") or not units:
             units = [{
                 "doc_id": p["doc_id"], "collection_id": p["collection_id"],
                 "doc_status": p["doc_status"], "error_message": p["val_error"],
@@ -414,9 +424,9 @@ def finalize_block(batch: pa.Table) -> pa.Table:
         first = idx[0]
         o["doc_id"].append(d)
         o["collection_id"].append(C["collection_id"][first])
-        if C["doc_status"][first] == "failed_validation":
+        if C["doc_status"][first] in ("failed_validation", "failed_storage"):
             o["spans"].append([])
-            o["status"].append("failed_validation")
+            o["status"].append(C["doc_status"][first])
             o["error_message"].append(C["error_message"][first])
             o["provider"].append(None)
             o["n_spans"].append(0)
@@ -528,8 +538,8 @@ def _reassemble_doc(rows: list[dict]) -> dict:
         "n_spans": 0,
         "n_chars": 0,
     }
-    if first["doc_status"] == "failed_validation":
-        out["status"] = "failed_validation"
+    if first["doc_status"] in ("failed_validation", "failed_storage"):
+        out["status"] = first["doc_status"]
         out["error_message"] = first["error_message"]
         out["provider"] = None
         return out

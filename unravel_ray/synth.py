@@ -98,6 +98,7 @@ def _doc(seed: int, i: int) -> dict:
     file_size = r.randint(1_000, 5_000_000)
     start_page = end_page = None
     pages = None
+    storage_error = None
 
     def span(kind, text=None, media_ref=None):
         spans.append(
@@ -115,6 +116,10 @@ def _doc(seed: int, i: int) -> dict:
         else:
             file_size = 20 * 1024 * 1024
         span("html", text=_html_fragment(r, doc_id))
+    elif roll < 0.04:  # storage failure: upload failed, row retained
+        mime = "image/png"
+        span("image", media_ref=f"s3://corpus/{doc_id}/img-0.png")
+        storage_error = "Failed to upload file to storage."
     elif roll < 0.08:  # whale pdf
         mime = "application/pdf"
         n_pages = r.randint(100, 400)
@@ -175,6 +180,7 @@ def _doc(seed: int, i: int) -> dict:
         "start_page": start_page,
         "end_page": end_page,
         "pages": pages,
+        "storage_error": storage_error,
     }
 
 
