@@ -114,3 +114,40 @@ def test_verify_inputs_invalidates_changed_partition(ray_session, tmp_path):
 
     rows = {r["doc_id"]: r for r in load_extracted(out).take_all()}
     assert any(s["text"] == "changed content" for s in rows[victim["doc_id"]]["spans"])
+
+
+def test_fragment_aligned_checkpoint(ray_session, tmp_path):
+    """Partitions = input files; each partition reads only its shard;
+    a touched file invalidates exactly its partition."""
+    import os
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from unravel_ray.checkpoint import run_with_checkpoint_files
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = make_corpus(120)
+    files = []
+    for i in range(4):
+        f = str(src / f"shard-{i}.parquet")
+        pq.write_table(corpus.slice(i * 30, 30), f)
+        files.append(f)
+
+    out = str(tmp_path / "out")
+    res = run_with_checkpoint_files(files, out, files_per_partition=1, cfg=CFG)
+    assert res["executed"] == [0, 1, 2, 3]
+    assert load_extracted(out).count() == 120
+
+    # no-op resume
+    res2 = run_with_checkpoint_files(files, out, files_per_partition=1, cfg=CFG)
+    assert res2["executed"] == [] and len(res2["skipped"]) == 4
+
+    # touching one file invalidates exactly that partition
+    _time.sleep(1.1)
+    pq.write_table(corpus.slice(60, 30), files[2])
+    os.utime(files[2])
+    res3 = run_with_checkpoint_files(files, out, files_per_partition=1, cfg=CFG)
+    assert res3["executed"] == [2]
+    assert load_extracted(out).count() == 120

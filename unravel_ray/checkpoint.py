@@ -237,3 +237,85 @@ def load_extracted(out_dir: str):
         if d.startswith("part-") and os.path.isdir(os.path.join(out_dir, d))
     )
     return ray.data.read_parquet(parts)
+
+
+def run_with_checkpoint_files(
+    input_files: list[str],
+    out_dir: str,
+    files_per_partition: int = 1,
+    cfg: PipelineConfig | None = None,
+    fail_after: int | None = None,
+) -> dict:
+    """Fragment-aligned checkpointing — the 100 TB shape.
+
+    Partitions are contiguous groups of input files: each partition READS
+    ONLY ITS OWN FILES (``read_parquet(file_group)``), unlike
+    run_with_checkpoint whose hash filter scans the full input per
+    partition. The manifest fingerprint is (path, size, mtime) per file —
+    change detection without reading content; commit/resume semantics are
+    identical (rename-atomic, crash-safe).
+    """
+    import ray.data
+
+    cfg = cfg or PipelineConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    groups = [
+        sorted(input_files)[i:i + files_per_partition]
+        for i in range(0, len(input_files), files_per_partition)
+    ]
+    done = read_manifest(out_dir)
+    executed, skipped = [], []
+    for pid, group in enumerate(groups):
+        fp_parts = []
+        for f in group:
+            st = os.stat(f)
+            fp_parts.append(f"{os.path.basename(f)}:{st.st_size}:{int(st.st_mtime)}")
+        in_fp = "|".join(fp_parts)
+        if pid in done and done[pid]["input_fingerprint"] == in_fp:
+            skipped.append(pid)
+            continue
+        t0 = time.time()
+        extracted = build_extraction(ray.data.read_parquet(group), cfg)
+
+        final = os.path.join(out_dir, f"part-{pid}")
+        tmp = os.path.join(out_dir, f".tmp-part-{pid}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(final, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        counts: dict[str, int] = {}
+        n_rows = 0
+        writer = None
+        try:
+            for batch in extracted.iter_batches(batch_size=4096, batch_format="pyarrow"):
+                if writer is None:
+                    import pyarrow.parquet as pq
+
+                    writer = pq.ParquetWriter(os.path.join(tmp, "data.parquet"), batch.schema)
+                writer.write_table(batch)
+                n_rows += batch.num_rows
+                vc = pc.value_counts(batch["status"])
+                for status, n in zip(vc.field("values").to_pylist(),
+                                     vc.field("counts").to_pylist()):
+                    counts[status] = counts.get(status, 0) + n
+        finally:
+            if writer is not None:
+                writer.close()
+        if n_rows == 0:
+            import pyarrow.parquet as pq
+
+            from .schema import EXTRACTED_SCHEMA
+
+            pq.write_table(EXTRACTED_SCHEMA.empty_table(), os.path.join(tmp, "data.parquet"))
+        os.rename(tmp, final)
+        _commit_manifest(out_dir, {
+            "partition_id": pid,
+            "input_fingerprint": in_fp,
+            "n_rows": n_rows,
+            "n_completed": counts.get("completed", 0),
+            "n_failed": n_rows - counts.get("completed", 0),
+            "wall_time_s": round(time.time() - t0, 3),
+        })
+        executed.append(pid)
+        if fail_after is not None and len(executed) >= fail_after:
+            raise PartitionInterrupted(f"injected failure after {fail_after} partitions")
+    return {"executed": executed, "skipped": skipped}
