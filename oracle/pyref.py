@@ -23,17 +23,17 @@ leaf modules):
 3. Page selection (M3) applies to the doc's pdf_page span sequence
    (1-indexed by position in that sequence); invalid selection ->
    'failed_validation'.
-3. Span walk in input-offset order:
+4. Span walk in input-offset order:
    * html  -> boilerplate-stripped ordered runs (heading/text/list_item)
    * text  -> one 'text' span per non-empty line
    * image -> one 'ocr_text' span (provider output, media_ref preserved)
    * pdf_page group -> ONE 'pdf_text' span at the first pdf_page position:
      direct join if any selected page has text, else OCR join over every
      selected page (M1/M2 exact separator semantics).
-4. Any provider failure (poison rows) -> status='failed', error recorded,
+5. Any provider failure (poison rows) -> status='failed', error recorded,
    no spans emitted (mirrors OcrData-on-failure holding no extractedText,
    reference ocrprocessing/service/ProcessOcr.java:174-183).
-5. Output offsets re-densified 0..n-1 in emission order.
+6. Output offsets re-densified 0..n-1 in emission order.
 """
 
 from __future__ import annotations
