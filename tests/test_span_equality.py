@@ -160,3 +160,18 @@ def test_mixed_content_doc_with_page_selection(ray_session):
     # pdf block sits at the position of the FIRST pdf span, between html and image
     kinds = [s["kind"] for s in got["spans"]]
     assert kinds == ["heading", "text", "pdf_text", "ocr_text", "text", "text"]
+
+
+def test_actor_pool_ocr_matches_task_mode(ray_session, corpus, pipeline_out):
+    """ocr_compute='actors' (the warm-engine path real providers use) must
+    produce identical output to the default worker-cached task mode."""
+    cfg = PipelineConfig(ocr_compute="actors", ocr_concurrency=2)
+    ds = ray.data.from_arrow(corpus).repartition(8)
+    rows = build_extraction(ds, cfg).take_all()
+    actor_out = {r["doc_id"]: r for r in rows}
+    assert set(actor_out) == set(pipeline_out)
+    for doc_id, a in pipeline_out.items():
+        b = actor_out[doc_id]
+        assert a["spans"] == b["spans"], doc_id
+        assert a["status"] == b["status"], doc_id
+        assert a["provider"] == b["provider"], doc_id
