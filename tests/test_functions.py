@@ -42,7 +42,8 @@ def test_parse_llm_json_defaults_on_garbage():
 def test_sanitize_log():
     assert sanitize_log("a b/c<script>") == "a_b_c_script"
     assert sanitize_log("__x__") == "x"
-    assert sanitize_log(None) == ""
+    # SanitizeLogging.java renders null as the literal string "null"
+    assert sanitize_log(None) == "null"
     col = sanitize_log_column(pa.array(["a b/c", "ok-name.txt"]))
     assert col.to_pylist() == ["a_b_c", "ok-name.txt"]
 
@@ -101,3 +102,8 @@ def test_parse_llm_json_hardening():
     # string tags coerced to a list
     assert parse_llm_json('{"tags": "a, b"}')["tags"] == ["a", "b"]
     assert parse_llm_json('{"tags": [1, "x"]}')["tags"] == ["1", "x"]
+    # MISSING confidence key on a valid object defaults to 0.5
+    # (AiClassificationService.parseClassificationResponse); 0.0 is
+    # reserved for the parse-failure path.
+    assert parse_llm_json('{"document_type": "invoice"}')["confidence"] == 0.5
+    assert parse_llm_json('{"confidence": 0}')["confidence"] == 0.0

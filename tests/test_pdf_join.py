@@ -32,6 +32,14 @@ def test_ocr_mode_keeps_blank_pages():
     assert join_ocr(pages) == "a\n--- Page 2 ---\n\n--- Page 3 ---\nc"
 
 
+def test_ocr_leading_blank_pages_emit_no_separator():
+    # combinedText.isEmpty() gate (PdfTextExtractor.java:136): blank first
+    # OCR page(s) must not produce a leading separator
+    assert join_ocr([(1, ""), (2, "b"), (3, "c")]) == "b\n--- Page 3 ---\nc"
+    assert join_ocr([(1, ""), (2, "  ")]) == ""
+    assert join_ocr([(1, None), (2, None), (3, "z")]) == "z"
+
+
 def test_needs_ocr_only_when_all_blank():
     assert needs_ocr_mode([(1, ""), (2, "  ")])
     assert not needs_ocr_mode([(1, ""), (2, "x")])

@@ -82,7 +82,17 @@ def test_join_direct_invariants(pages):
 @settings(max_examples=200, deadline=None)
 def test_join_ocr_keeps_every_page(pages):
     out = join_ocr(pages)
-    assert len(re.findall(r"\n--- Page \d+ ---\n", out)) == len(pages) - 1
+    # separator gate is accumulated-TEXT emptiness (PdfTextExtractor.java:136):
+    # a run of leading blank pages emits no separators; once any text (or a
+    # separator) has been emitted, every later page gets one.
+    leading_blank = 0
+    for _, t in pages:
+        if t is None or t.strip() == "":
+            leading_blank += 1
+        else:
+            break
+    expected = max(0, len(pages) - leading_blank - 1) if leading_blank < len(pages) else 0
+    assert len(re.findall(r"\n--- Page \d+ ---\n", out)) == expected
 
 
 @given(st.lists(st.tuples(st.integers(1, 99), page_text), max_size=8))

@@ -149,13 +149,15 @@ def run_with_checkpoint(
                 current_fp = input_fingerprint(make_docs(), pid, n_partitions)
                 if current_fp != done[pid]["input_fingerprint"]:
                     # source changed -> invalidate and re-run this partition.
-                    # Data dir first, manifest second: a crash in between
-                    # leaves a manifest-less dir that the rerun's rmtree
-                    # cleans up; the reverse order would orphan stale data
-                    # behind a fresh-looking manifest gap.
+                    # Manifest row FIRST, data dir second: a crash in between
+                    # leaves a stale data dir with no manifest row, which the
+                    # rerun's rmtree(final) cleans up before re-executing.
+                    # The reverse order could leave a committed manifest row
+                    # pointing at missing data — a default resume would then
+                    # skip the partition and silently drop its rows.
+                    os.remove(os.path.join(manifest_dir(out_dir), f"part-{pid}.json"))
                     shutil.rmtree(os.path.join(out_dir, f"part-{pid}"),
                                   ignore_errors=True)
-                    os.remove(os.path.join(manifest_dir(out_dir), f"part-{pid}.json"))
                     known_fp = current_fp  # reuse — identical input, no rescan
                 else:
                     skipped.append(pid)
@@ -218,7 +220,10 @@ def run_with_checkpoint(
             "output_ids_fingerprint": f"{out_fp:08x}:{n}",
             "n_rows": n_rows,
             "n_completed": counts.get("completed", 0),
-            "n_failed": counts.get("failed", 0) + counts.get("failed_validation", 0),
+            # n_rows - n_completed covers every failure status (failed,
+            # failed_validation, failed_storage) — same accounting as
+            # run_with_checkpoint_files, so manifests agree across variants.
+            "n_failed": n_rows - counts.get("completed", 0),
             "wall_time_s": round(time.time() - t0, 3),
         })
         executed.append(pid)

@@ -35,7 +35,12 @@ def truncate_column(col: pa.Array, max_len: int) -> pa.Array:
 
 _FENCE_RE = re.compile(r"^```(?:json)?\s*|\s*```$", re.MULTILINE)
 
+# Parse-FAILURE defaults (confidence 0.0 is reserved for the failure path;
+# a successfully parsed object with a *missing* confidence key defaults to
+# 0.5 — AiClassificationService.parseClassificationResponse semantics).
 LLM_DEFAULTS = {"document_type": "other", "tags": ["unclassified"], "confidence": 0.0}
+
+MISSING_CONFIDENCE = 0.5
 
 
 def parse_llm_json(raw: str | None) -> dict:
@@ -53,7 +58,8 @@ def parse_llm_json(raw: str | None) -> dict:
             tags = [t.strip() for t in tags.split(",") if t.strip()]
         if not isinstance(tags, list) or not tags:
             tags = list(LLM_DEFAULTS["tags"])
-        confidence = float(obj.get("confidence") or 0.0)
+        raw_conf = obj.get("confidence")
+        confidence = MISSING_CONFIDENCE if raw_conf is None else float(raw_conf)
     except (json.JSONDecodeError, ValueError, TypeError):
         return dict(LLM_DEFAULTS)
     return {
@@ -71,9 +77,13 @@ _LOG_BAD = re.compile(r"[^a-zA-Z0-9_\-.]+")
 
 
 def sanitize_log(value: str | None) -> str:
-    """Replace disallowed runs with single '_', trim edge underscores."""
+    """Replace disallowed runs with single '_', trim edge underscores.
+
+    None input returns the literal 'null' — SanitizeLogging.java renders
+    null values as the string "null" in log lines.
+    """
     if value is None:
-        return ""
+        return "null"
     return _LOG_BAD.sub("_", value).strip("_")
 
 

@@ -44,10 +44,15 @@ def join_direct(pages: Iterable[tuple[int, str | None]]) -> str:
 
 
 def join_ocr(pages: Iterable[tuple[int, str | None]]) -> str:
-    """Combine OCR page texts — every page contributes, even blank ones."""
+    """Combine OCR page texts — every page contributes, even blank ones.
+
+    The separator gate checks accumulated TEXT emptiness (any(out)), not
+    list emptiness, matching the reference's combinedText.isEmpty() check
+    (PdfTextExtractor.java:136): leading blank OCR pages emit no separator.
+    """
     out: list[str] = []
     for page_no, text in pages:
-        if out:
+        if any(out):
             out.append(f"\n--- Page {page_no} ---\n")
         out.append((text or "").strip())
     return "".join(out)
