@@ -93,16 +93,25 @@ def run_bench() -> dict:
     # deterministic interleaved synth corpus, generated shard-locally in
     # the read tasks (identical bytes at any parallelism — per-doc RNG is
     # hash(seed, doc_id)).
+    import shutil
+    import tempfile
+
     from unravel_ray.config import PipelineConfig
-    from unravel_ray.pipeline import build_extraction
+    from unravel_ray.pipeline import extract_publish
     from unravel_ray.synth import corpus_dataset
 
     synth_docs = int(os.environ.get("GRAFT_SYNTH_DOCS", "120000"))
     cfg = PipelineConfig(ocr_concurrency=(max(1, num_cpus // 4), num_cpus))
+    # the shipped path: write-audit-publish (streaming write to partitioned
+    # parquet + slim on-disk audit + lazy read back) — timed end-to-end
+    pub_dir = tempfile.mkdtemp(prefix="unravel-bench-pub-")
     t0 = time.perf_counter()
-    n_synth = _consume(build_extraction(corpus_dataset(synth_docs, block_size=1500), cfg))
+    n_synth = _consume(
+        extract_publish(corpus_dataset(synth_docs, block_size=1500), cfg, pub_dir)
+    )
     t_synth = round(time.perf_counter() - t0, 3)
     timings["flagship_synth"] = t_synth
+    shutil.rmtree(pub_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     out = {

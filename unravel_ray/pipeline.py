@@ -17,6 +17,12 @@ Library code never calls ray.init() — callers own the session.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+import shutil
+import tempfile
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -25,7 +31,7 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
 
 from .config import PipelineConfig
-from .schema import EXTRACTED_SCHEMA
+from .schema import EXTRACTED_SCHEMA, SPLIT_MARKER_STATUS
 from .stages import (
     OcrStage,
     add_bucket,
@@ -100,6 +106,18 @@ def build_extraction(ds: Dataset, cfg: PipelineConfig | None = None) -> Dataset:
       kept for comparison and as a fallback.
     """
     cfg = cfg or PipelineConfig()
+    extracted = _build_extraction_core(ds, cfg)
+    if cfg.reassembly != "shuffle" and cfg.verify_colocation:
+        extracted = _repair_split_docs(ds, extracted, cfg)
+    return extracted
+
+
+def _build_extraction_core(ds: Dataset, cfg: PipelineConfig) -> Dataset:
+    """The raw streaming plan: explode -> OCR -> reassemble. On the local
+    path the output may contain SPLIT_MARKER_STATUS rows for docs whose
+    work units straddled a block boundary (detected block-locally via
+    n_units — no shuffle); callers resolve them via _repair_split_docs
+    (in-memory) or extract_publish (write-audit-publish)."""
     units = ds.map_batches(
         explode_extract, batch_format="pyarrow", batch_size=cfg.explode_batch_size
     )
@@ -113,56 +131,109 @@ def build_extraction(ds: Dataset, cfg: PipelineConfig | None = None) -> Dataset:
         return bucketed.groupby("bucket").map_groups(
             finalize_bucket, batch_format="pyarrow"
         )
-    extracted = ocred.map_batches(finalize_block, batch_format="pyarrow", batch_size=None)
-    if cfg.verify_colocation:
-        extracted = _repair_split_docs(ds, extracted, cfg)
-    return extracted
+    return ocred.map_batches(finalize_block, batch_format="pyarrow", batch_size=None)
 
 
-def _repair_split_docs(docs: Dataset, extracted: Dataset, cfg: PipelineConfig) -> Dataset:
-    """Correctness net for local reassembly: find doc_ids that produced >1
-    output row (split across blocks), recompute exactly those docs from the
-    source in a single block, and splice them in. The check shuffles ONLY
-    the doc_id column (slim); in the common case the dup set is empty and
-    the output passes through untouched.
+def _marker_ids(t: pa.Table) -> pa.Table:
+    return t.filter(pc.equal(t["status"], SPLIT_MARKER_STATUS)).select(["doc_id"])
 
-    In checkpointed runs the same check runs against the written partition
-    (see checkpoint.py), so nothing extra materializes at scale; here the
-    output is pinned once (it is the final result being handed back).
-    """
-    extracted = extracted.materialize()
-    counts = (
-        extracted.select_columns(["doc_id"]).groupby("doc_id").count()
-    )
-    dup_rows = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["count()"], 1)), batch_format="pyarrow"
-    ).take_all()
-    if not dup_rows:
-        return extracted
-    dup_ids = {r["doc_id"] for r in dup_rows}
+
+def _recompute_docs(docs: Dataset, dup_ids: frozenset, cfg: PipelineConfig) -> Dataset:
+    """Re-extract exactly the given doc_ids from source in a single block
+    (one block => finalize sees every unit => markers impossible)."""
     import ray
 
-    ref = ray.put(frozenset(dup_ids))
-
-    def drop_dups(t: pa.Table) -> pa.Table:
-        bad = ray.get(ref)
-        mask = pa.array([d not in bad for d in t["doc_id"].to_pylist()], pa.bool_())
-        return t.filter(mask)
+    ref = ray.put(dup_ids)
 
     def keep_dups(t: pa.Table) -> pa.Table:
         bad = ray.get(ref)
         mask = pa.array([d in bad for d in t["doc_id"].to_pylist()], pa.bool_())
         return t.filter(mask)
 
-    clean = extracted.map_batches(drop_dups, batch_format="pyarrow")
     redo_src = docs.map_batches(keep_dups, batch_format="pyarrow").repartition(1)
     redo_units = redo_src.map_batches(
         explode_extract, batch_format="pyarrow", batch_size=cfg.explode_batch_size
     )
-    redo = _ocr_stage(redo_units, cfg).map_batches(
+    return _ocr_stage(redo_units, cfg).map_batches(
         finalize_block, batch_format="pyarrow", batch_size=None
     )
-    return clean.union(redo)
+
+
+def _repair_split_docs(docs: Dataset, extracted: Dataset, cfg: PipelineConfig) -> Dataset:
+    """Correctness net for local reassembly, in-memory variant: incomplete
+    docs already self-identify as SPLIT_MARKER_STATUS rows (block-local
+    n_units check inside finalize_block — no groupby, nothing shuffles).
+    Here we pin the output once (it is the final result being handed back;
+    callers are tests and per-checkpoint partitions, both bounded), scan
+    for markers, and splice in an exact recompute of just those docs.
+    The unbounded default path (run_flagship/entry) uses extract_publish
+    instead, which audits against WRITTEN output and never materializes.
+    """
+    extracted = extracted.materialize()
+    marker_rows = extracted.map_batches(_marker_ids, batch_format="pyarrow").take_all()
+    if not marker_rows:
+        return extracted
+    dup_ids = frozenset(r["doc_id"] for r in marker_rows)
+
+    def drop_markers(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t["status"], SPLIT_MARKER_STATUS))
+
+    clean = extracted.map_batches(drop_markers, batch_format="pyarrow")
+    return clean.union(_recompute_docs(docs, dup_ids, cfg))
+
+
+def extract_publish(docs: Dataset, cfg: PipelineConfig | None = None,
+                    out_dir: str | None = None) -> Dataset:
+    """Write-audit-publish extraction — the default unbounded-scale path.
+
+    One streaming pass writes the raw extraction to partitioned parquet
+    (object store never pins the corpus; output is resumable/persistent).
+    The audit re-reads ONLY the slim (doc_id, status) columns from disk
+    looking for SPLIT_MARKER_STATUS rows (block-local detection happened
+    at emission, so no groupby/shuffle anywhere); split docs — normally
+    zero — are recomputed exactly from source into a repair partition.
+    Publish = lazy read of the committed parquet, marker rows filtered.
+
+    A PUBLISHED.json manifest commits the output; re-calling with the same
+    out_dir returns the committed result without recomputing (the
+    read-through-cache analog, SURVEY.md A6). Pass out_dir=None for a
+    fresh throwaway directory under /tmp.
+    """
+    import ray.data
+
+    cfg = cfg or PipelineConfig()
+    if out_dir is None:
+        out_dir = tempfile.mkdtemp(prefix="unravel-publish-")
+    manifest_path = os.path.join(out_dir, "PUBLISHED.json")
+    raw_dir = os.path.join(out_dir, "raw")
+    repair_dir = os.path.join(out_dir, "repair")
+    if not os.path.exists(manifest_path):
+        os.makedirs(out_dir, exist_ok=True)
+        shutil.rmtree(raw_dir, ignore_errors=True)
+        shutil.rmtree(repair_dir, ignore_errors=True)
+        _build_extraction_core(docs, cfg).write_parquet(raw_dir)
+        slim = ray.data.read_parquet(raw_dir, columns=["doc_id", "status"])
+        split_ids = frozenset(
+            r["doc_id"]
+            for r in slim.map_batches(_marker_ids, batch_format="pyarrow").take_all()
+        )
+        if split_ids:
+            _recompute_docs(docs, split_ids, cfg).write_parquet(repair_dir)
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"n_split_repaired": len(split_ids)}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, manifest_path)
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    ds = ray.data.read_parquet(raw_dir)
+    if manifest["n_split_repaired"]:
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.not_equal(t["status"], SPLIT_MARKER_STATUS)),
+            batch_format="pyarrow",
+        ).union(ray.data.read_parquet(repair_dir))
+    return ds
 
 
 def build_rollup(extracted: Dataset) -> Dataset:
@@ -246,10 +317,43 @@ def documents_to_docs(sf_dir: str, cfg: PipelineConfig | None = None) -> Dataset
     )
 
 
+def _code_fingerprint() -> str:
+    """Hash of the package source files' (name, size, mtime) — invalidates
+    published caches when the engine code changes (dev safety; stable in a
+    deployed run where files don't change)."""
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.blake2b(digest_size=8)
+    for name in sorted(os.listdir(pkg_dir)):
+        if name.endswith(".py"):
+            st = os.stat(os.path.join(pkg_dir, name))
+            h.update(f"{name}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()
+
+
+def flagship_publish_dir(sf_dir: str, cfg: PipelineConfig) -> str:
+    """Deterministic publish dir: same (input, config, code) -> same dir, so
+    the N queries that start from the flagship extraction share ONE
+    extraction run instead of re-running the pipeline each."""
+    key = hashlib.blake2b(
+        f"{os.path.abspath(sf_dir)}:{cfg.seed}:{cfg.reassembly}:"
+        f"{cfg.preferred_provider}:{cfg.fallback_chain}:{_code_fingerprint()}".encode(),
+        digest_size=10,
+    ).hexdigest()
+    base = os.environ.get("GRAFT_PUBLISH_DIR", "/tmp/unravel_publish")
+    return os.path.join(base, key)
+
+
 def run_flagship(sf_dir: str, cfg: PipelineConfig | None = None) -> Dataset:
-    """documents.parquet -> interleave -> extract; the entry() pipeline."""
+    """documents.parquet -> interleave -> extract; the entry() pipeline.
+
+    Uses the write-audit-publish path: one streaming pass to partitioned
+    parquet, slim on-disk audit, lazy read back — the plan never holds the
+    corpus in the object store, and repeated flagship-derived queries
+    reuse the committed extraction (cache keyed on input+config+code)."""
     cfg = cfg or PipelineConfig()
-    return build_extraction(documents_to_docs(sf_dir, cfg), cfg)
+    return extract_publish(
+        documents_to_docs(sf_dir, cfg), cfg, flagship_publish_dir(sf_dir, cfg)
+    )
 
 
 def extracted_schema() -> pa.Schema:

@@ -86,8 +86,18 @@ WORKUNIT_SCHEMA = pa.schema(
         pa.field("error_message", pa.string()),
         pa.field("lang", pa.string()),
         pa.field("size_bucket", pa.int32()),
+        # total work units this doc exploded into — lets reassembly detect a
+        # doc split across blocks LOCALLY (rows seen != n_units), with no
+        # groupby/shuffle and no full-output materialization
+        pa.field("n_units", pa.int32()),
     ]
 )
+
+# Internal status marker emitted by finalize_block for an incomplete doc
+# fragment (its block holds fewer rows than n_units). Never appears in
+# published output: the repair/publish paths replace marker docs with an
+# exact recompute from source.
+SPLIT_MARKER_STATUS = "__split__"
 
 # Quarantine table — the DLQ analog (SURVEY.md §2.9): rows that a stage
 # failed on, with the DLQ-header fields the reference attaches

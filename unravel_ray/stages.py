@@ -33,7 +33,7 @@ from .html_extract import extract_html_spans, split_plain_text
 from .pages import PageSelectionError, resolve_pages
 from .pdftext import join_direct, join_ocr, needs_ocr_mode
 from .providers import ProviderRegistry
-from .schema import EXTRACTED_SCHEMA, WORKUNIT_SCHEMA
+from .schema import EXTRACTED_SCHEMA, SPLIT_MARKER_STATUS, WORKUNIT_SCHEMA
 from .validate import ALLOWED_MIMES, SINGLE_FILE_MAX_BYTES
 
 _PLACEHOLDER_KIND = None  # row that carries a doc with no content/work
@@ -45,7 +45,7 @@ class _UnitColumns:
 
     __slots__ = ("kind", "text", "media_ref", "offset", "sub", "page_no",
                  "needs_ocr", "pdf_mode", "doc_status", "error_message",
-                 "doc_id", "collection_id", "lang", "size_bucket")
+                 "doc_id", "collection_id", "lang", "size_bucket", "n_units")
 
     def __init__(self) -> None:
         for f in self.__slots__:
@@ -107,13 +107,18 @@ def explode_extract(batch: pa.Table) -> pa.Table:
 
     out = _UnitColumns()
     for i in range(batch.num_rows):
+        start = len(out.doc_id)
         if prechecks[i]:
             out.add(doc_ids[i], colls[i], langs[i],
                     doc_status="failed_validation", error_message=prechecks[i])
-            continue
-        _explode_doc_cols(out, doc_ids[i], colls[i], mimes[i], sizes[i],
-                          langs[i], sps[i], eps[i], pgs[i], spans_col[i],
-                          storage_errs[i])
+        else:
+            _explode_doc_cols(out, doc_ids[i], colls[i], mimes[i], sizes[i],
+                              langs[i], sps[i], eps[i], pgs[i], spans_col[i],
+                              storage_errs[i])
+        # backfill the doc's total unit count on every one of its rows —
+        # reassembly uses it for block-local split detection
+        n = len(out.doc_id) - start
+        out.n_units.extend([n] * n)
     return out.table()
 
 
@@ -394,9 +399,12 @@ def finalize_block(batch: pa.Table) -> pa.Table:
 
     Valid because explode_extract emits each doc's rows contiguously inside
     one output table, and Ray only splits a map output block mid-table when
-    it exceeds target_max_block_size — pipeline.build_extraction guards the
-    residual case with a slim duplicate check + targeted recompute
-    (_repair_split_docs), so correctness never rests on this invariant.
+    it exceeds target_max_block_size. Split detection is BLOCK-LOCAL: each
+    work unit carries the doc's total unit count (n_units); a doc group
+    whose row count falls short is an incomplete fragment and emits a slim
+    SPLIT_MARKER_STATUS row (no payload) instead of a wrong partial doc.
+    The repair/publish paths (pipeline.py) replace marker docs with an
+    exact recompute from source — no groupby verification pass needed.
 
     Column-wise implementation (no per-row dicts): groups are index lists
     into the block's columns; output spans are built as tuple structs.
@@ -408,6 +416,8 @@ def finalize_block(batch: pa.Table) -> pa.Table:
         "sub", "page_no", "pdf_mode", "doc_status", "error_message",
         "ocr_provider",
     )}
+    n_units = (batch["n_units"].to_pylist()
+               if "n_units" in batch.column_names else None)
     groups: dict[str, list[int]] = {}
     for i, d in enumerate(C["doc_id"]):
         g = groups.get(d)
@@ -424,6 +434,17 @@ def finalize_block(batch: pa.Table) -> pa.Table:
         first = idx[0]
         o["doc_id"].append(d)
         o["collection_id"].append(C["collection_id"][first])
+        if n_units is not None and n_units[first] is not None \
+                and len(idx) < n_units[first]:
+            # incomplete fragment (doc split across blocks): emit a slim
+            # marker row; repair recomputes this doc exactly from source
+            o["spans"].append([])
+            o["status"].append(SPLIT_MARKER_STATUS)
+            o["error_message"].append(None)
+            o["provider"].append(None)
+            o["n_spans"].append(0)
+            o["n_chars"].append(0)
+            continue
         if C["doc_status"][first] in ("failed_validation", "failed_storage"):
             o["spans"].append([])
             o["status"].append(C["doc_status"][first])
