@@ -41,7 +41,7 @@ from __future__ import annotations
 from unravel_ray.html_extract import extract_html_spans, split_plain_text
 from unravel_ray.pages import PageSelectionError, resolve_pages
 from unravel_ray.pdftext import join_direct, join_ocr, needs_ocr_mode
-from unravel_ray.providers import FakeOcrProvider, OcrError
+from unravel_ray.providers import FakeOcrProvider, OcrError, fake_confidence_bp
 from unravel_ray.validate import ALLOWED_MIMES, SINGLE_FILE_MAX_BYTES
 
 _PROVIDER = FakeOcrProvider()
@@ -61,6 +61,8 @@ def extract_doc(doc: dict) -> dict:
         "provider": "direct",
         "n_spans": 0,
         "n_chars": 0,
+        "confidence_micros": None,
+        "language_detected": None,
     }
 
     mime = doc.get("mime_type")
@@ -103,6 +105,8 @@ def extract_doc(doc: dict) -> dict:
             return out
 
     used_ocr = False
+    ocr_bps: list[int] = []   # per-OCR-unit confidence in basis points,
+    # in document (offset) order — the doc mean is exact integer micros
     emitted: list[tuple[str, str | None, str | None]] = []
     try:
         pdf_done = False
@@ -118,6 +122,7 @@ def extract_doc(doc: dict) -> dict:
             elif kind == "image":
                 text = _PROVIDER.extract(s["media_ref"], doc.get("lang"))
                 used_ocr = True
+                ocr_bps.append(fake_confidence_bp(s["media_ref"]))
                 emitted.append(("ocr_text", text, s["media_ref"]))
             elif kind == "pdf_page":
                 if pdf_done:
@@ -129,6 +134,7 @@ def extract_doc(doc: dict) -> dict:
                     for i in selected:
                         text = _PROVIDER.extract(pdf_pages[i]["media_ref"], doc.get("lang"))
                         used_ocr = True
+                        ocr_bps.append(fake_confidence_bp(pdf_pages[i]["media_ref"]))
                         ocr_pages.append((i + 1, text))
                     joined = join_ocr(ocr_pages)
                 else:
@@ -151,6 +157,9 @@ def extract_doc(doc: dict) -> dict:
     out["provider"] = _PROVIDER.name if used_ocr else "direct"
     out["n_spans"] = len(emitted)
     out["n_chars"] = sum(len(t) for _, t, _ in emitted if t)
+    if ocr_bps:
+        out["confidence_micros"] = (sum(ocr_bps) * 100) // len(ocr_bps)
+        out["language_detected"] = doc.get("lang") or "eng"
     return out
 
 

@@ -138,6 +138,22 @@ def test_html_walk_never_crashes_or_leaks_script(html):
         assert "\r" not in text
 
 
+@given(tag_soup())
+@settings(max_examples=300, deadline=None)
+def test_single_pass_walk_equals_strip_then_walk(html):
+    """extract_html_spans' fused strip+walk must equal the composable
+    two-pass pipeline (strip_boilerplate -> walk_spans) on arbitrary soup."""
+    from unravel_ray.html_extract import (
+        parse_fragment,
+        strip_boilerplate,
+        walk_spans,
+    )
+
+    fused = extract_html_spans(html)
+    two_pass = walk_spans(strip_boilerplate(parse_fragment(html)))
+    assert fused == two_pass
+
+
 @given(st.text(alphabet="ab \r\n", max_size=60))
 @settings(max_examples=300, deadline=None)
 def test_split_plain_text_java_model(text):

@@ -70,6 +70,25 @@ def test_status_error_provider_accounting(pipeline_out, oracle_out):
         assert got["provider"] == want["provider"], doc_id
         assert got["n_spans"] == want["n_spans"], doc_id
         assert got["n_chars"] == want["n_chars"], doc_id
+        # OCR metadata threading (OcrResult.java:34-41): exact integer
+        # micro-mean confidence + detected language, null when no OCR ran
+        assert got["confidence_micros"] == want["confidence_micros"], doc_id
+        assert got["language_detected"] == want["language_detected"], doc_id
+
+
+def test_confidence_populated_for_ocr_docs(pipeline_out):
+    ocr_docs = [r for r in pipeline_out.values()
+                if r["status"] == "completed" and r["provider"] == "fake"]
+    direct_docs = [r for r in pipeline_out.values()
+                   if r["status"] == "completed" and r["provider"] == "direct"]
+    assert ocr_docs and direct_docs
+    for r in ocr_docs:
+        assert r["confidence_micros"] is not None
+        assert 900_000 <= r["confidence_micros"] <= 1_000_000
+        assert r["language_detected"] == "eng"
+    for r in direct_docs:
+        assert r["confidence_micros"] is None
+        assert r["language_detected"] is None
 
 
 def test_corpus_exercises_all_paths(oracle_out):

@@ -28,7 +28,6 @@ content for a data engine; documented engine decision).
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
 from html.parser import HTMLParser
 
 # Subtrees never contributing content (chrome / executable / invisible).
@@ -54,11 +53,17 @@ LINK_FARM_MAX_CHARS = 200
 _WS_RUN = re.compile(r"[ \t\r\f\v]+")
 
 
-@dataclass
 class Element:
-    tag: str
-    attrs: dict[str, str] = field(default_factory=dict)
-    children: list = field(default_factory=list)  # Element | str (text node)
+    """Tree node; slotted plain class (a dataclass + per-node attr dict was
+    measurable overhead at ~10^4 nodes per block in the hot explode stage)."""
+
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: dict | None = None,
+                 children: list | None = None) -> None:
+        self.tag = tag
+        self.attrs = {} if attrs is None else attrs
+        self.children = [] if children is None else children  # Element | str
 
 
 class _FragmentParser(HTMLParser):
@@ -70,13 +75,15 @@ class _FragmentParser(HTMLParser):
         self.stack = [self.root]
 
     def handle_starttag(self, tag, attrs):
-        el = Element(tag.lower(), {k.lower(): (v or "") for k, v in attrs})
+        el = Element(tag.lower(),
+                     {k.lower(): (v or "") for k, v in attrs} if attrs else None)
         self.stack[-1].children.append(el)
         if el.tag not in VOID_TAGS:
             self.stack.append(el)
 
     def handle_startendtag(self, tag, attrs):
-        el = Element(tag.lower(), {k.lower(): (v or "") for k, v in attrs})
+        el = Element(tag.lower(),
+                     {k.lower(): (v or "") for k, v in attrs} if attrs else None)
         self.stack[-1].children.append(el)
 
     def handle_endtag(self, tag):
@@ -218,9 +225,79 @@ def walk_spans(root: Element) -> list[tuple[str, str]]:
     return out
 
 
+_FARM_TAGS = frozenset({"div", "ul", "ol", "p", "table", "section"})
+
+
+def _dropped(el: Element) -> bool:
+    """Strip decision for one element, evaluated on the ORIGINAL subtree
+    (same as strip_boilerplate's top-down clean: farm scoring sees the
+    un-stripped subtree)."""
+    return el.tag in DROP_TAGS or (el.tag in _FARM_TAGS and _is_link_farm(el))
+
+
+def _inline_stripped(node, parts: list) -> None:
+    """_inline_text over the virtually-stripped tree (no tree copy)."""
+    if isinstance(node, str):
+        parts.append(node)
+        return
+    if node.tag == "br":
+        parts.append("\n")
+        return
+    if _dropped(node):
+        return
+    for c in node.children:
+        _inline_stripped(c, parts)
+
+
+def _para_stripped(el: Element) -> str:
+    parts: list = []
+    for c in el.children:
+        _inline_stripped(c, parts)
+    return _normalize("".join(parts))
+
+
 def extract_html_spans(html: str) -> list[tuple[str, str]]:
-    """Full M8+M9 kernel: parse -> strip boilerplate -> ordered spans."""
-    return walk_spans(strip_boilerplate(parse_fragment(html)))
+    """Full M8+M9 kernel: parse -> strip boilerplate -> ordered spans.
+
+    Single-pass implementation: the strip decisions (DROP_TAGS subtrees,
+    link farms) are applied during the walk instead of materializing a
+    stripped tree copy — same output as
+    walk_spans(strip_boilerplate(tree)) (pinned by the equivalence test),
+    roughly half the tree-node allocations in the hot explode stage.
+    """
+    out: list[tuple[str, str]] = []
+
+    def process(el: Element) -> None:
+        tag = el.tag
+        if tag in HEADING_TAGS:
+            t = _para_stripped(el)
+            if t:
+                out.append(("heading", t))
+        elif tag == "p":
+            t = _para_stripped(el)
+            if t:
+                out.append(("text", t))
+        elif tag in ("ul", "ol"):
+            for li in el.children:
+                if not isinstance(li, str) and li.tag == "li":
+                    t = _para_stripped(li)
+                    if t:
+                        out.append(("list_item", t))
+        else:
+            surv = [c for c in el.children
+                    if not isinstance(c, str) and not _dropped(c)]
+            if surv:
+                for c in surv:
+                    process(c)
+            else:
+                t = _para_stripped(el)
+                if t:
+                    out.append(("text", t))
+
+    for child in parse_fragment(html).children:
+        if not isinstance(child, str) and not _dropped(child):
+            process(child)
+    return out
 
 
 def split_plain_text(text: str) -> list[str]:

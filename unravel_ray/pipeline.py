@@ -65,6 +65,10 @@ def _ocr_stage(units: Dataset, cfg: PipelineConfig) -> Dataset:
         )
         mode = "actors" if warm else "tasks"
     if mode == "tasks":
+        # whole blocks: task mode fuses with its neighbors, so slicing to
+        # ocr_batch_size cannot spread work across tasks — it only adds
+        # re-batching overhead. The batch knob matters for the ACTOR pool,
+        # where each call is a scheduling unit (whale-PDF spreading).
         return units.map_batches(
             ocr_task,
             fn_kwargs={
@@ -72,7 +76,7 @@ def _ocr_stage(units: Dataset, cfg: PipelineConfig) -> Dataset:
                 "fallback_chain": tuple(cfg.fallback_chain),
             },
             batch_format="pyarrow",
-            batch_size=cfg.ocr_batch_size,
+            batch_size=None,
         )
     return units.map_batches(
         OcrStage,
@@ -138,6 +142,48 @@ def _marker_ids(t: pa.Table) -> pa.Table:
     return t.filter(pc.equal(t["status"], SPLIT_MARKER_STATUS)).select(["doc_id"])
 
 
+def _audit_split_ids(raw_dir: str) -> tuple[frozenset, int, int]:
+    """Find split-marker doc_ids in written output via parquet FOOTER
+    statistics only: SPLIT_MARKER_STATUS ('__split__') sorts before every
+    real status ('c...'/'f...'), so a row group containing a marker has
+    status.min < 'a'. Files whose footers prove marker-free are never
+    read — the audit costs KB of metadata per file, not a data scan.
+    Only suspect files (normally none) get a slim (doc_id,status) read.
+    At cluster scale this loop is itself trivially parallelizable (one
+    footer per task); file counts here don't warrant it.
+
+    Returns (marker doc_ids, n_marker_rows, n_raw_rows) — row counts come
+    from the same footers, so the publish manifest records an exact row
+    count with zero data read."""
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(raw_dir, f) for f in os.listdir(raw_dir)
+        if f.endswith(".parquet")
+    )
+    suspects = []
+    n_raw = 0
+    for path in files:
+        md = pq.ParquetFile(path).metadata
+        n_raw += md.num_rows
+        status_idx = md.schema.names.index("status")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(status_idx).statistics
+            if st is None or not st.has_min_max or st.min < "a":
+                suspects.append(path)
+                break
+    if not suspects:
+        return frozenset(), 0, n_raw
+    ids: set[str] = set()
+    n_marker = 0
+    for path in suspects:
+        t = pq.read_table(path, columns=["doc_id", "status"])
+        m = _marker_ids(t)
+        n_marker += m.num_rows
+        ids.update(m["doc_id"].to_pylist())
+    return frozenset(ids), n_marker, n_raw
+
+
 def _recompute_docs(docs: Dataset, dup_ids: frozenset, cfg: PipelineConfig) -> Dataset:
     """Re-extract exactly the given doc_ids from source in a single block
     (one block => finalize sees every unit => markers impossible)."""
@@ -188,10 +234,11 @@ def extract_publish(docs: Dataset, cfg: PipelineConfig | None = None,
 
     One streaming pass writes the raw extraction to partitioned parquet
     (object store never pins the corpus; output is resumable/persistent).
-    The audit re-reads ONLY the slim (doc_id, status) columns from disk
-    looking for SPLIT_MARKER_STATUS rows (block-local detection happened
-    at emission, so no groupby/shuffle anywhere); split docs — normally
-    zero — are recomputed exactly from source into a repair partition.
+    The audit checks parquet FOOTER statistics for SPLIT_MARKER_STATUS
+    rows (block-local detection happened at emission, so no
+    groupby/shuffle anywhere; see _audit_split_ids); split docs —
+    normally zero — are recomputed exactly from source into a repair
+    partition.
     Publish = lazy read of the committed parquet, marker rows filtered.
 
     A PUBLISHED.json manifest commits the output; re-calling with the same
@@ -212,16 +259,13 @@ def extract_publish(docs: Dataset, cfg: PipelineConfig | None = None,
         shutil.rmtree(raw_dir, ignore_errors=True)
         shutil.rmtree(repair_dir, ignore_errors=True)
         _build_extraction_core(docs, cfg).write_parquet(raw_dir)
-        slim = ray.data.read_parquet(raw_dir, columns=["doc_id", "status"])
-        split_ids = frozenset(
-            r["doc_id"]
-            for r in slim.map_batches(_marker_ids, batch_format="pyarrow").take_all()
-        )
+        split_ids, n_marker, n_raw = _audit_split_ids(raw_dir)
         if split_ids:
             _recompute_docs(docs, split_ids, cfg).write_parquet(repair_dir)
         tmp = manifest_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"n_split_repaired": len(split_ids)}, f)
+            json.dump({"n_split_repaired": len(split_ids),
+                       "n_rows": n_raw - n_marker + len(split_ids)}, f)
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, manifest_path)

@@ -77,11 +77,23 @@ class OcrProvider:
         return out
 
 
+def fake_confidence_bp(media_ref: str) -> int:
+    """Deterministic per-ref confidence in basis points, [9000, 9999].
+
+    Mirrors the reference's per-result confidence (OcrResult.java:34-41;
+    Vision mean-block confidence GoogleVisionOcrProvider.java:273-304) with
+    a deterministic derivation so oracles can recompute it exactly.
+    """
+    h = hashlib.sha256(media_ref.encode("utf-8")).hexdigest()
+    return 9000 + int(h[:3], 16) % 1000
+
+
 class FakeOcrProvider(OcrProvider):
     """Deterministic test engine: ``ocr(sha256(media_ref)[:12])``.
 
     Raises on the poison marker so quarantine paths are exercised
     (FIXTURES.md §1; failure semantics TesseractOcrProvider.java:102-119).
+    Confidence is fake_confidence_bp(ref)/10000 — deterministic, non-trivial.
     """
 
     name = "fake"
@@ -92,6 +104,24 @@ class FakeOcrProvider(OcrProvider):
             raise OcrError(f"provider cannot read media: {media_ref!r}")
         digest = hashlib.sha256(media_ref.encode("utf-8")).hexdigest()[:12]
         return f"ocr({digest})"
+
+    def extract_batch(self, media_refs: list[str], language: str | None = None) -> list[OcrOutput]:
+        """Batched fast path: one digest per ref, no per-row exception
+        machinery (hot stage at 10^6 OCR units per run). Output strings
+        are byte-identical to the generic extract() path."""
+        lang = language or "eng"
+        out: list[OcrOutput] = []
+        ap = out.append
+        for ref in media_refs:
+            if ref is None or POISON_MARKER in ref:
+                ap(OcrOutput(None, None, None, False,
+                             f"OcrError: provider cannot read media: {ref!r}"))
+            else:
+                h = hashlib.sha256(ref.encode("utf-8")).hexdigest()
+                ap(OcrOutput(f"ocr({h[:12]})",
+                             (9000 + int(h[:3], 16) % 1000) / 10000.0,
+                             lang, True))
+        return out
 
 
 class TesseractProvider(OcrProvider):

@@ -63,6 +63,13 @@ EXTRACTED_SCHEMA = pa.schema(
         pa.field("provider", pa.string()),        # which OCR provider served this doc
         pa.field("n_spans", pa.int32()),
         pa.field("n_chars", pa.int64()),
+        # mean OCR confidence over the doc's OCR'd units, exact integer
+        # micros ((sum_bp*100)//n); null when nothing was OCR'd. Mirrors
+        # OcrResult.confidence (OcrResult.java:34-41).
+        pa.field("confidence_micros", pa.int32()),
+        # first OCR'd unit's detected language in document order; null when
+        # nothing was OCR'd. Mirrors OcrResult.languageDetected.
+        pa.field("language_detected", pa.string()),
     ]
 )
 

@@ -27,6 +27,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .config import PipelineConfig
 from .html_extract import extract_html_spans, split_plain_text
@@ -39,24 +40,23 @@ from .validate import ALLOWED_MIMES, SINGLE_FILE_MAX_BYTES
 _PLACEHOLDER_KIND = None  # row that carries a doc with no content/work
 
 
-class _UnitColumns:
-    """Column-wise work-unit builder — avoids a 14-field dict per row
-    (the dict churn was the memory-bandwidth hot spot at 32 workers)."""
+class _ExplodeBuilder:
+    """Column-wise work-unit builder. Unit-varying fields are Python lists;
+    doc-constant fields are recorded ONCE per doc and expanded to unit rows
+    with Arrow take/repeat at assembly — no per-unit Python churn for
+    doc_id/collection_id/lang/status (the dict- and string-churn here was
+    the memory-bandwidth hot spot at 32 workers)."""
 
     __slots__ = ("kind", "text", "media_ref", "offset", "sub", "page_no",
-                 "needs_ocr", "pdf_mode", "doc_status", "error_message",
-                 "doc_id", "collection_id", "lang", "size_bucket", "n_units")
+                 "needs_ocr", "pdf_mode",
+                 "counts", "doc_status", "error_message", "size_bucket")
 
     def __init__(self) -> None:
         for f in self.__slots__:
             setattr(self, f, [])
 
-    def add(self, doc_id, collection_id, lang, kind=None, text=None,
-            media_ref=None, offset=0, sub=0, page_no=None, needs_ocr=False,
-            pdf_mode=None, doc_status="ok", error_message=None, size_bucket=0):
-        self.doc_id.append(doc_id)
-        self.collection_id.append(collection_id)
-        self.lang.append(lang)
+    def unit(self, kind=None, text=None, media_ref=None, offset=0, sub=0,
+             page_no=None, needs_ocr=False, pdf_mode=None) -> None:
         self.kind.append(kind)
         self.text.append(text)
         self.media_ref.append(media_ref)
@@ -65,15 +65,50 @@ class _UnitColumns:
         self.page_no.append(page_no)
         self.needs_ocr.append(needs_ocr)
         self.pdf_mode.append(pdf_mode)
+
+    def end_doc(self, n_before: int, doc_status="ok", error_message=None,
+                size_bucket=0) -> None:
+        """Close the current doc: record per-doc metadata + unit count.
+        A doc that emitted nothing gets one placeholder unit."""
+        if len(self.kind) == n_before:
+            self.unit()
+        self.counts.append(len(self.kind) - n_before)
         self.doc_status.append(doc_status)
         self.error_message.append(error_message)
         self.size_bucket.append(size_bucket)
 
-    def table(self) -> pa.Table:
-        cols = {}
-        for field in WORKUNIT_SCHEMA:
-            cols[field.name] = pa.array(getattr(self, field.name), field.type)
-        return pa.table(cols)
+    def table(self, batch: pa.Table) -> pa.Table:
+        counts = np.asarray(self.counts, dtype=np.int64)
+        parent = pa.array(np.repeat(np.arange(len(counts)), counts))
+
+        def doc_col(name, default=None):
+            if name in batch.column_names:
+                return pc.take(batch[name], parent)
+            return pa.nulls(len(self.kind), pa.string())
+
+        def per_doc(values, typ):
+            return pc.take(pa.array(values, typ), parent)
+
+        return pa.Table.from_arrays(
+            [
+                doc_col("doc_id"),
+                doc_col("collection_id"),
+                pa.array(self.kind, pa.string()),
+                pa.array(self.text, pa.string()),
+                pa.array(self.media_ref, pa.string()),
+                pa.array(self.offset, pa.int32()),
+                pa.array(self.sub, pa.int32()),
+                pa.array(self.page_no, pa.int32()),
+                pa.array(self.needs_ocr, pa.bool_()),
+                pa.array(self.pdf_mode, pa.string()),
+                per_doc(self.doc_status, pa.string()),
+                per_doc(self.error_message, pa.string()),
+                doc_col("lang"),
+                per_doc(self.size_bucket, pa.int32()),
+                per_doc(counts, pa.int32()),
+            ],
+            schema=WORKUNIT_SCHEMA,
+        )
 
 
 def explode_extract(batch: pa.Table) -> pa.Table:
@@ -83,66 +118,80 @@ def explode_extract(batch: pa.Table) -> pa.Table:
     pdf pages one row each, images one row each). Validation-failed docs
     emit a single placeholder row so the doc is never dropped
     (partial-success semantics, DocumentUploadImpl.java:111-120).
-    Column-wise output construction; only the nested spans column goes
-    through python objects.
+
+    Arrow-native data movement: the nested spans column is flattened ONCE
+    (pc.list_flatten) into four parallel primitive arrays; per-doc slices
+    index into them — no per-span dict materialization. Doc-constant
+    output columns are derived by Arrow take on parent indices.
     """
-    cols = batch.column_names
+    n = batch.num_rows
+    cols = set(batch.column_names)
 
     def col(name, default=None):
         if name in cols:
             return batch[name].to_pylist()
-        return [default] * batch.num_rows
+        return [default] * n
 
-    doc_ids = col("doc_id")
-    colls = col("collection_id")
     mimes = col("mime_type")
     sizes = col("file_size", 0)
-    langs = col("lang")
     sps = col("start_page")
     eps = col("end_page")
     pgs = col("pages")
-    spans_col = col("spans")
     prechecks = col("precheck_error")  # upstream gates (e.g. total-size cap)
     storage_errs = col("storage_error")  # upload failures, rows retained
 
-    out = _UnitColumns()
-    for i in range(batch.num_rows):
-        start = len(out.doc_id)
+    if "spans" in cols:
+        spans_col = batch.column("spans")
+        lengths = pc.fill_null(pc.list_value_length(spans_col), 0).to_pylist()
+        flat = pc.list_flatten(spans_col)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        fk = flat.field("kind").to_pylist()
+        ft = flat.field("text").to_pylist()
+        fm = flat.field("media_ref").to_pylist()
+        fo = flat.field("offset").to_pylist()
+    else:
+        lengths = [0] * n
+        fk = ft = fm = fo = []
+
+    out = _ExplodeBuilder()
+    lo = 0
+    for i in range(n):
+        hi = lo + lengths[i]
+        n_before = len(out.kind)
         if prechecks[i]:
-            out.add(doc_ids[i], colls[i], langs[i],
-                    doc_status="failed_validation", error_message=prechecks[i])
+            out.end_doc(n_before, doc_status="failed_validation",
+                        error_message=prechecks[i])
         else:
-            _explode_doc_cols(out, doc_ids[i], colls[i], mimes[i], sizes[i],
-                              langs[i], sps[i], eps[i], pgs[i], spans_col[i],
-                              storage_errs[i])
-        # backfill the doc's total unit count on every one of its rows —
-        # reassembly uses it for block-local split detection
-        n = len(out.doc_id) - start
-        out.n_units.extend([n] * n)
-    return out.table()
+            _explode_doc(out, n_before, mimes[i], sizes[i], sps[i], eps[i],
+                         pgs[i], fk, ft, fm, fo, lo, hi, storage_errs[i])
+        lo = hi
+    return out.table(batch)
 
 
-def _explode_doc_cols(out: _UnitColumns, doc_id, collection_id, mime, size,
-                      lang, start_page, end_page, pages, spans,
-                      storage_error=None) -> None:
-    base = (doc_id, collection_id, lang)
+def _explode_doc(out: _ExplodeBuilder, n_before: int, mime, size,
+                 start_page, end_page, pages,
+                 fk, ft, fm, fo, lo: int, hi: int,
+                 storage_error=None) -> None:
+    """Explode one doc whose spans live at flat indices [lo, hi)."""
     if mime not in ALLOWED_MIMES:
-        out.add(*base, doc_status="failed_validation",
-                error_message=f"Invalid file type: {mime}")
+        out.end_doc(n_before, doc_status="failed_validation",
+                    error_message=f"Invalid file type: {mime}")
         return
     if (size or 0) > SINGLE_FILE_MAX_BYTES:
-        out.add(*base, doc_status="failed_validation",
-                error_message=(f"The file size must not exceed "
-                               f"{SINGLE_FILE_MAX_BYTES // (1024 * 1024)} MB."))
+        out.end_doc(n_before, doc_status="failed_validation",
+                    error_message=(f"The file size must not exceed "
+                                   f"{SINGLE_FILE_MAX_BYTES // (1024 * 1024)} MB."))
         return
     if storage_error:
         # upload failed; row retained with its error (partial-success
         # matrix, DocumentUploadImplTest storage-failure rows)
-        out.add(*base, doc_status="failed_storage", error_message=storage_error)
+        out.end_doc(n_before, doc_status="failed_storage",
+                    error_message=storage_error)
         return
 
-    spans_in = sorted(spans or [], key=lambda s: s["offset"])
-    pdf_pages = [s for s in spans_in if s["kind"] == "pdf_page"]
+    order = sorted(range(lo, hi), key=fo.__getitem__)
+    pdf_pages = [j for j in order if fk[j] == "pdf_page"]
 
     selected: list[int] = []
     if pdf_pages:
@@ -151,100 +200,115 @@ def _explode_doc_cols(out: _UnitColumns, doc_id, collection_id, mime, size,
                 len(pdf_pages), start_page, end_page, list(pages or []) or None
             )
         except PageSelectionError as exc:
-            out.add(*base, doc_status="failed_validation", error_message=str(exc))
+            out.end_doc(n_before, doc_status="failed_validation",
+                        error_message=str(exc))
             return
 
-    n_spans = len(spans_in)
+    n_spans = hi - lo
     size_bucket = 0 if n_spans <= 16 else (1 if n_spans <= 64 else 2)
-    emitted = 0
     seq = 0  # doc-global emission sequence: reassembly sorts (offset, sub),
              # and a per-span-restarting sub would interleave units of two
              # input spans sharing an offset; the global counter preserves
              # the oracle's stable input order exactly
     pdf_done = False
-    for s in spans_in:
-        kind, off = s["kind"], s["offset"]
+    unit = out.unit
+    for j in order:
+        kind, off = fk[j], fo[j]
         if kind == "html":
-            for k, t in extract_html_spans(s["text"] or ""):
-                out.add(*base, kind=k, text=t, offset=off, sub=seq,
-                        size_bucket=size_bucket)
+            for k, t in extract_html_spans(ft[j] or ""):
+                unit(kind=k, text=t, offset=off, sub=seq)
                 seq += 1
-                emitted += 1
         elif kind == "text":
-            for line in split_plain_text(s["text"]):
+            for line in split_plain_text(ft[j]):
                 if line:
-                    out.add(*base, kind="text", text=line, offset=off, sub=seq,
-                            size_bucket=size_bucket)
+                    unit(kind="text", text=line, offset=off, sub=seq)
                     seq += 1
-                    emitted += 1
         elif kind == "image":
-            out.add(*base, kind="image", media_ref=s["media_ref"], offset=off,
-                    sub=seq, needs_ocr=True, size_bucket=size_bucket)
+            unit(kind="image", media_ref=fm[j], offset=off, sub=seq,
+                 needs_ocr=True)
             seq += 1
-            emitted += 1
         elif kind == "pdf_page":
             if pdf_done:
                 continue
             pdf_done = True
-            sel_pages = [(i + 1, pdf_pages[i]["text"]) for i in selected]
+            sel_pages = [(i + 1, ft[pdf_pages[i]]) for i in selected]
             if needs_ocr_mode(sel_pages):
                 for i in selected:
-                    out.add(*base, kind="pdf_page",
-                            media_ref=pdf_pages[i]["media_ref"], offset=off,
-                            sub=seq, page_no=i + 1, needs_ocr=True,
-                            pdf_mode="ocr", size_bucket=size_bucket)
+                    unit(kind="pdf_page", media_ref=fm[pdf_pages[i]],
+                         offset=off, sub=seq, page_no=i + 1, needs_ocr=True,
+                         pdf_mode="ocr")
                     seq += 1
-                    emitted += 1
             else:
                 for i in selected:
-                    out.add(*base, kind="pdf_page", text=pdf_pages[i]["text"],
-                            offset=off, sub=seq, page_no=i + 1,
-                            pdf_mode="direct", size_bucket=size_bucket)
+                    unit(kind="pdf_page", text=ft[pdf_pages[i]], offset=off,
+                         sub=seq, page_no=i + 1, pdf_mode="direct")
                     seq += 1
-                    emitted += 1
-        elif s.get("text") or s.get("media_ref"):
-            out.add(*base, kind=kind, text=s.get("text"),
-                    media_ref=s.get("media_ref"), offset=off, sub=seq,
-                    size_bucket=size_bucket)
+        elif ft[j] or fm[j]:
+            unit(kind=kind, text=ft[j], media_ref=fm[j], offset=off, sub=seq)
             seq += 1
-            emitted += 1
-    if not emitted:
-        out.add(*base)
+    out.end_doc(n_before, size_bucket=size_bucket)
 
 
 def apply_ocr(batch: pa.Table, registry: ProviderRegistry) -> pa.Table:
-    """Fill OCR'd text for rows with needs_ocr=True; failure-as-result."""
+    """Fill OCR'd text for rows with needs_ocr=True; failure-as-result.
+
+    Vectorized scatter: only the needed rows' media_ref/lang leave Arrow
+    (pc.take on indices); results go back via pc.replace_with_mask, so the
+    text/error payload columns of the (majority) non-OCR rows are never
+    round-tripped through Python. Appends ocr_provider, ocr_confidence_bp
+    (basis points, OcrResult.java:34-41) and ocr_language columns.
+    """
     needs = batch["needs_ocr"].to_numpy(zero_copy_only=False)
     idx = np.flatnonzero(needs)
-    provider_col = np.full(batch.num_rows, None, dtype=object)
     if idx.size == 0:
-        return batch.append_column("ocr_provider", pa.array(provider_col, pa.string()))
+        nulls_s = pa.nulls(batch.num_rows, pa.string())
+        batch = batch.append_column("ocr_provider", nulls_s)
+        batch = batch.append_column("ocr_confidence_bp", pa.nulls(batch.num_rows, pa.int32()))
+        return batch.append_column("ocr_language", nulls_s)
 
-    media = batch["media_ref"].to_pylist()
-    langs = batch["lang"].to_pylist()
-    text = batch["text"].to_pylist()
-    errors = batch["error_message"].to_pylist()
+    take_idx = pa.array(idx)
+    media = pc.take(batch["media_ref"], take_idx).to_pylist()
+    langs = pc.take(batch["lang"], take_idx).to_pylist()
+    k = idx.size
+    texts: list = [None] * k
+    errs: list = [None] * k
+    names: list = [None] * k
+    confs: list = [None] * k
+    out_langs: list = [None] * k
     # group by language: a batch mixes rows from many docs, and a real
     # engine loads language-specific models — one extract_batch per lang
     by_lang: dict = {}
-    for i in idx:
-        by_lang.setdefault(langs[i], []).append(i)
+    for p, lang in enumerate(langs):
+        by_lang.setdefault(lang, []).append(p)
     for lang, rows in by_lang.items():
-        outputs, names = registry.extract_batch([media[i] for i in rows], lang)
-        for o, name, i in zip(outputs, names, rows):
-            provider_col[i] = name
+        outputs, pnames = registry.extract_batch([media[p] for p in rows], lang)
+        for o, name, p in zip(outputs, pnames, rows):
+            names[p] = name
             if o.success:
-                text[i] = o.text
+                texts[p] = o.text
+                if o.confidence is not None:
+                    confs[p] = int(round(o.confidence * 10000))
+                out_langs[p] = o.language
             else:
-                errors[i] = o.error_message
+                errs[p] = o.error_message
+
+    mask = pa.array(needs)
+    new_text = pc.replace_with_mask(
+        batch["text"].combine_chunks(), mask, pa.array(texts, pa.string()))
+    new_err = pc.replace_with_mask(
+        batch["error_message"].combine_chunks(), mask, pa.array(errs, pa.string()))
+    prov = pc.replace_with_mask(
+        pa.nulls(batch.num_rows, pa.string()), mask, pa.array(names, pa.string()))
+    conf = pc.replace_with_mask(
+        pa.nulls(batch.num_rows, pa.int32()), mask, pa.array(confs, pa.int32()))
+    olang = pc.replace_with_mask(
+        pa.nulls(batch.num_rows, pa.string()), mask, pa.array(out_langs, pa.string()))
+    batch = batch.set_column(batch.column_names.index("text"), "text", new_text)
     batch = batch.set_column(
-        batch.column_names.index("text"), "text", pa.array(text, pa.string())
-    )
-    batch = batch.set_column(
-        batch.column_names.index("error_message"), "error_message",
-        pa.array(errors, pa.string()),
-    )
-    return batch.append_column("ocr_provider", pa.array(provider_col, pa.string()))
+        batch.column_names.index("error_message"), "error_message", new_err)
+    batch = batch.append_column("ocr_provider", prov)
+    batch = batch.append_column("ocr_confidence_bp", conf)
+    return batch.append_column("ocr_language", olang)
 
 
 _REGISTRY_CACHE: dict[tuple, ProviderRegistry] = {}
@@ -311,6 +375,8 @@ _UNIT_STRUCT = pa.struct(
         pa.field("pdf_mode", pa.string()),
         pa.field("error_message", pa.string()),
         pa.field("ocr_provider", pa.string()),
+        pa.field("ocr_confidence_bp", pa.int32()),
+        pa.field("ocr_language", pa.string()),
     ]
 )
 
@@ -325,7 +391,8 @@ PARTIAL_SCHEMA = pa.schema(
 )
 
 _UNIT_FIELDS = ("kind", "text", "media_ref", "offset", "sub", "page_no",
-                "pdf_mode", "error_message", "ocr_provider")
+                "pdf_mode", "error_message", "ocr_provider",
+                "ocr_confidence_bp", "ocr_language")
 
 
 def _pack_rows(rows: list[dict]) -> list[dict]:
@@ -394,79 +461,131 @@ _SPANS_TYPE = EXTRACTED_SCHEMA.field("spans").type
 
 
 def finalize_block(batch: pa.Table) -> pa.Table:
-    """Shuffle-free reassembly: merge + in-doc sort(offset, sub) + span
-    assembly over one whole block of OCR'd work units (batch_size=None).
+    """Shuffle-free reassembly: merge + in-doc ordering + span assembly
+    over one whole block of OCR'd work units (batch_size=None).
 
     Valid because explode_extract emits each doc's rows contiguously inside
     one output table, and Ray only splits a map output block mid-table when
     it exceeds target_max_block_size. Split detection is BLOCK-LOCAL: each
-    work unit carries the doc's total unit count (n_units); a doc group
+    work unit carries the doc's total unit count (n_units); a doc run
     whose row count falls short is an incomplete fragment and emits a slim
     SPLIT_MARKER_STATUS row (no payload) instead of a wrong partial doc.
     The repair/publish paths (pipeline.py) replace marker docs with an
     exact recompute from source — no groupby verification pass needed.
 
-    Column-wise implementation (no per-row dicts): groups are index lists
-    into the block's columns; output spans are built as tuple structs.
+    Vectorized layout work: doc runs come from numpy boundary detection on
+    dictionary codes; (offset, sub) order is verified vectorized (explode
+    emits pre-sorted — the per-run Python sort only runs on violation);
+    doc_id/collection_id never round-trip through Python (Arrow take on
+    run starts); output spans build as flat arrays + offsets.
     """
-    if batch.num_rows == 0:
+    n = batch.num_rows
+    if n == 0:
         return EXTRACTED_SCHEMA.empty_table()
-    C = {n: batch[n].to_pylist() for n in (
-        "doc_id", "collection_id", "kind", "text", "media_ref", "offset",
-        "sub", "page_no", "pdf_mode", "doc_status", "error_message",
-        "ocr_provider",
-    )}
-    n_units = (batch["n_units"].to_pylist()
-               if "n_units" in batch.column_names else None)
-    groups: dict[str, list[int]] = {}
-    for i, d in enumerate(C["doc_id"]):
-        g = groups.get(d)
-        if g is None:
-            groups[d] = [i]
-        else:
-            g.append(i)
+    cols = set(batch.column_names)
 
-    o = {k: [] for k in ("doc_id", "collection_id", "spans", "status",
-                         "error_message", "provider", "n_spans", "n_chars")}
-    off, sub = C["offset"], C["sub"]
-    for d in sorted(groups):
-        idx = sorted(groups[d], key=lambda i: (off[i], sub[i]))
-        first = idx[0]
-        o["doc_id"].append(d)
-        o["collection_id"].append(C["collection_id"][first])
-        if n_units is not None and n_units[first] is not None \
-                and len(idx) < n_units[first]:
+    codes = pc.dictionary_encode(
+        batch["doc_id"].combine_chunks()).indices.to_numpy()
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(codes[1:], codes[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    run_ends = np.append(starts[1:], n)
+
+    off = batch["offset"].to_numpy(zero_copy_only=False)
+    sub = batch["sub"].to_numpy(zero_copy_only=False)
+    # order violations within runs (never on the explode path — it emits
+    # (offset, sub)-ascending): lexicographic descent not at a run start
+    viol = ~change[1:] & ~(
+        (off[1:] > off[:-1]) | ((off[1:] == off[:-1]) & (sub[1:] > sub[:-1]))
+    )
+    unsorted_runs: set[int] = set()
+    if viol.any():
+        for i in np.flatnonzero(viol):
+            unsorted_runs.add(int(np.searchsorted(starts, i + 1, side="right")) - 1)
+
+    kinds = batch["kind"].to_pylist()
+    texts = batch["text"].to_pylist()
+    medias = batch["media_ref"].to_pylist()
+    page_no = batch["page_no"].to_pylist()
+    pdf_mode = batch["pdf_mode"].to_pylist()
+    if "n_units" in cols:
+        nu = pc.fill_null(batch["n_units"], -1).to_numpy(zero_copy_only=False)
+    else:
+        nu = None
+
+    # rare/sparse columns: numpy validity masks up front, strings fetched
+    # lazily only when a run is flagged
+    status_bad = pc.is_in(
+        batch["doc_status"],
+        value_set=pa.array(["failed_validation", "failed_storage"]),
+    ).to_numpy(zero_copy_only=False)
+    err_valid = pc.is_valid(batch["error_message"]).to_numpy(zero_copy_only=False)
+    prov_valid = pc.is_valid(batch["ocr_provider"]).to_numpy(zero_copy_only=False)
+    doc_status_l = batch["doc_status"].to_pylist() if status_bad.any() else None
+    err_l = batch["error_message"].to_pylist() if err_valid.any() else None
+    prov_l = batch["ocr_provider"].to_pylist() if prov_valid.any() else None
+    if "ocr_confidence_bp" in cols:
+        conf_valid = pc.is_valid(batch["ocr_confidence_bp"]).to_numpy(zero_copy_only=False)
+        conf_fill = pc.fill_null(batch["ocr_confidence_bp"], 0).to_numpy(zero_copy_only=False)
+        lang_l = (batch["ocr_language"].to_pylist()
+                  if "ocr_language" in cols and conf_valid.any() else None)
+    else:
+        conf_valid = np.zeros(n, dtype=bool)
+        conf_fill = None
+        lang_l = None
+
+    n_runs = len(starts)
+    # flat span output builders
+    sk: list = []
+    st: list = []
+    sm: list = []
+    span_offsets = np.empty(n_runs + 1, dtype=np.int32)
+    span_offsets[0] = 0
+    status_o: list = []
+    error_o: list = []
+    provider_o: list = []
+    nchars_o = np.zeros(n_runs, dtype=np.int64)
+    conf_o: list = []
+    lang_o: list = []
+
+    for r in range(n_runs):
+        s, e = int(starts[r]), int(run_ends[r])
+        rl = e - s
+        if nu is not None and nu[s] >= 0 and rl < nu[s]:
             # incomplete fragment (doc split across blocks): emit a slim
             # marker row; repair recomputes this doc exactly from source
-            o["spans"].append([])
-            o["status"].append(SPLIT_MARKER_STATUS)
-            o["error_message"].append(None)
-            o["provider"].append(None)
-            o["n_spans"].append(0)
-            o["n_chars"].append(0)
+            status_o.append(SPLIT_MARKER_STATUS)
+            error_o.append(None)
+            provider_o.append(None)
+            conf_o.append(None)
+            lang_o.append(None)
+            span_offsets[r + 1] = len(sk)
             continue
-        if C["doc_status"][first] in ("failed_validation", "failed_storage"):
-            o["spans"].append([])
-            o["status"].append(C["doc_status"][first])
-            o["error_message"].append(C["error_message"][first])
-            o["provider"].append(None)
-            o["n_spans"].append(0)
-            o["n_chars"].append(0)
+        if status_bad[s]:
+            status_o.append(doc_status_l[s])
+            error_o.append(err_l[s] if err_l else None)
+            provider_o.append(None)
+            conf_o.append(None)
+            lang_o.append(None)
+            span_offsets[r + 1] = len(sk)
             continue
-        failure = next((i for i in idx if C["error_message"][i]), None)
-        used = next((C["ocr_provider"][i] for i in idx if C["ocr_provider"][i]), None)
-        if failure is not None:
-            o["spans"].append([])
-            o["status"].append("failed")
-            o["error_message"].append(C["error_message"][failure])
-            o["provider"].append(used or C["ocr_provider"][failure])
-            o["n_spans"].append(0)
-            o["n_chars"].append(0)
+        idx = (sorted(range(s, e), key=lambda i: (off[i], sub[i]))
+               if r in unsorted_runs else range(s, e))
+        used = None
+        if prov_valid[s:e].any():
+            used = next(prov_l[i] for i in idx if prov_valid[i])
+        if err_valid[s:e].any():
+            failure = next(i for i in idx if err_valid[i])
+            status_o.append("failed")
+            error_o.append(err_l[failure])
+            provider_o.append(used)
+            conf_o.append(None)
+            lang_o.append(None)
+            span_offsets[r + 1] = len(sk)
             continue
-        kinds = C["kind"]
-        spans: list[tuple] = []  # (kind, text, media_ref, offset)
         n_chars = 0
-        pdf_idx = [i for i in idx if kinds[i] == "pdf_page"]
+        pdf_idx = None
         pdf_emitted = False
         for i in idx:
             k = kinds[i]
@@ -476,37 +595,82 @@ def finalize_block(batch: pa.Table) -> pa.Table:
                 if pdf_emitted:
                     continue
                 pdf_emitted = True
-                pages = [(C["page_no"][j], C["text"][j]) for j in pdf_idx]
-                joined = (join_ocr(pages) if C["pdf_mode"][pdf_idx[0]] == "ocr"
+                if pdf_idx is None:
+                    pdf_idx = [j for j in idx if kinds[j] == "pdf_page"]
+                pages = [(page_no[j], texts[j]) for j in pdf_idx]
+                joined = (join_ocr(pages) if pdf_mode[pdf_idx[0]] == "ocr"
                           else join_direct(pages))
                 if joined:
-                    spans.append(("pdf_text", joined, None, len(spans)))
+                    sk.append("pdf_text")
+                    st.append(joined)
+                    sm.append(None)
                     n_chars += len(joined)
             elif k == "image":
-                t = C["text"][i]
-                spans.append(("ocr_text", t, C["media_ref"][i], len(spans)))
-                n_chars += len(t) if t else 0
+                t = texts[i]
+                sk.append("ocr_text")
+                st.append(t)
+                sm.append(medias[i])
+                if t:
+                    n_chars += len(t)
             else:
-                t = C["text"][i]
-                spans.append((k, t, C["media_ref"][i], len(spans)))
-                n_chars += len(t) if t else 0
-        o["spans"].append(spans)
-        o["status"].append("completed")
-        o["error_message"].append(None)
-        o["provider"].append(used or "direct")
-        o["n_spans"].append(len(spans))
-        o["n_chars"].append(n_chars)
+                t = texts[i]
+                sk.append(k)
+                st.append(t)
+                sm.append(medias[i])
+                if t:
+                    n_chars += len(t)
+        status_o.append("completed")
+        error_o.append(None)
+        provider_o.append(used or "direct")
+        nchars_o[r] = n_chars
+        span_offsets[r + 1] = len(sk)
+        # doc-level OCR metadata: mean confidence over OCR'd units as exact
+        # integer micros; language = first OCR'd unit in document order
+        cv = conf_valid[s:e]
+        if cv.any():
+            conf_o.append(int(conf_fill[s:e][cv].sum()) * 100 // int(cv.sum()))
+            lang_o.append(next(lang_l[i] for i in idx if conf_valid[i]))
+        else:
+            conf_o.append(None)
+            lang_o.append(None)
 
-    return pa.table({
-        "doc_id": pa.array(o["doc_id"], pa.string()),
-        "collection_id": pa.array(o["collection_id"], pa.string()),
-        "spans": pa.array(o["spans"], _SPANS_TYPE),
-        "status": pa.array(o["status"], pa.string()),
-        "error_message": pa.array(o["error_message"], pa.string()),
-        "provider": pa.array(o["provider"], pa.string()),
-        "n_spans": pa.array(o["n_spans"], pa.int32()),
-        "n_chars": pa.array(o["n_chars"], pa.int64()),
-    })
+    span_type = _SPANS_TYPE.value_type
+    spans_arr = pa.ListArray.from_arrays(
+        pa.array(span_offsets, pa.int32()),
+        pa.StructArray.from_arrays(
+            [pa.array(sk, pa.string()), pa.array(st, pa.string()),
+             pa.array(sm, pa.string()),
+             pa.array(_dense_offsets(span_offsets), pa.int32())],
+            fields=list(span_type),
+        ),
+    )
+    take_starts = pa.array(starts)
+    n_spans = np.diff(span_offsets).astype(np.int32)
+    return pa.Table.from_arrays(
+        [
+            pc.take(batch["doc_id"], take_starts),
+            pc.take(batch["collection_id"], take_starts),
+            spans_arr,
+            pa.array(status_o, pa.string()),
+            pa.array(error_o, pa.string()),
+            pa.array(provider_o, pa.string()),
+            pa.array(n_spans, pa.int32()),
+            pa.array(nchars_o, pa.int64()),
+            pa.array(conf_o, pa.int32()),
+            pa.array(lang_o, pa.string()),
+        ],
+        schema=EXTRACTED_SCHEMA,
+    )
+
+
+def _dense_offsets(span_offsets: np.ndarray) -> np.ndarray:
+    """Per-doc 0..k-1 span offset column from the flat list offsets."""
+    n_flat = int(span_offsets[-1])
+    out = np.arange(n_flat, dtype=np.int32)
+    if len(span_offsets) > 1:
+        out -= np.repeat(span_offsets[:-1].astype(np.int32),
+                         np.diff(span_offsets))
+    return out
 
 
 def finalize_bucket(group: pa.Table) -> pa.Table:
@@ -558,6 +722,8 @@ def _reassemble_doc(rows: list[dict]) -> dict:
         "provider": "direct",
         "n_spans": 0,
         "n_chars": 0,
+        "confidence_micros": None,
+        "language_detected": None,
     }
     if first["doc_status"] in ("failed_validation", "failed_storage"):
         out["status"] = first["doc_status"]
@@ -602,4 +768,9 @@ def _reassemble_doc(rows: list[dict]) -> dict:
     out["provider"] = used or "direct"
     out["n_spans"] = len(emitted)
     out["n_chars"] = sum(len(t) for _, t, _ in emitted if t)
+    bps = [r["ocr_confidence_bp"] for r in rows if r.get("ocr_confidence_bp") is not None]
+    if bps:
+        out["confidence_micros"] = (sum(bps) * 100) // len(bps)
+        out["language_detected"] = next(
+            r["ocr_language"] for r in rows if r.get("ocr_language") is not None)
     return out

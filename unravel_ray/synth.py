@@ -45,7 +45,9 @@ def _rng(seed: int, doc_id: str) -> random.Random:
 
 
 def _words(r: random.Random, lo: int, hi: int) -> str:
-    return " ".join(r.choice(VOCAB) for _ in range(r.randint(lo, hi)))
+    # one batched choices() call per run (whale docs sample ~10^7 words per
+    # 100k docs; per-word choice() was the generator's hot spot)
+    return " ".join(r.choices(VOCAB, k=r.randint(lo, hi)))
 
 
 def _sentence(r: random.Random) -> str:
@@ -184,18 +186,61 @@ def _doc(seed: int, i: int) -> dict:
     }
 
 
+def _docs_table(rows: list[dict]) -> pa.Table:
+    """Column-wise DOCS_SCHEMA assembly: the nested spans column is built
+    from flat field arrays + offsets (ListArray.from_arrays) instead of
+    per-row dict conversion — ~2x faster than Table.from_pylist, which was
+    the generator's second hot spot after the RNG."""
+    if not rows:
+        return DOCS_SCHEMA.empty_table()
+    span_type = DOCS_SCHEMA.field("spans").type.value_type
+    offsets = [0]
+    fk: list = []
+    ft: list = []
+    fm: list = []
+    fo: list = []
+    for r in rows:
+        for s in r["spans"]:
+            fk.append(s["kind"])
+            ft.append(s["text"])
+            fm.append(s["media_ref"])
+            fo.append(s["offset"])
+        offsets.append(len(fk))
+    spans = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        pa.StructArray.from_arrays(
+            [pa.array(fk, pa.string()), pa.array(ft, pa.string()),
+             pa.array(fm, pa.string()), pa.array(fo, pa.int32())],
+            fields=list(span_type),
+        ),
+    )
+    return pa.Table.from_arrays(
+        [
+            pa.array([r["doc_id"] for r in rows], pa.string()),
+            pa.array([r["collection_id"] for r in rows], pa.string()),
+            spans,
+            pa.array([r["mime_type"] for r in rows], pa.string()),
+            pa.array([r["file_size"] for r in rows], pa.int64()),
+            pa.array([r["lang"] for r in rows], pa.string()),
+            pa.array([r["start_page"] for r in rows], pa.int32()),
+            pa.array([r["end_page"] for r in rows], pa.int32()),
+            pa.array([r.get("pages") for r in rows], pa.list_(pa.int32())),
+            pa.array([r.get("storage_error") for r in rows], pa.string()),
+        ],
+        schema=DOCS_SCHEMA,
+    )
+
+
 def make_corpus(n_docs: int, seed: int = SEED) -> pa.Table:
     """Deterministic interleaved docs table (DOCS_SCHEMA)."""
-    rows = [_doc(seed, i) for i in range(n_docs)]
-    return pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
+    return _docs_table([_doc(seed, i) for i in range(n_docs)])
 
 
 def make_corpus_range(start: int, stop: int, seed: int = SEED) -> pa.Table:
     """Corpus slice [start, stop) — content identical to make_corpus's rows,
     generated shard-locally (the 100 TB path: each read task synthesizes or
     reads only its shard; no driver-side materialization)."""
-    rows = [_doc(seed, i) for i in range(start, stop)]
-    return pa.Table.from_pylist(rows, schema=DOCS_SCHEMA)
+    return _docs_table([_doc(seed, i) for i in range(start, stop)])
 
 
 def corpus_dataset(n_docs: int, seed: int = SEED, block_size: int = 1000):
@@ -208,7 +253,7 @@ def corpus_dataset(n_docs: int, seed: int = SEED, block_size: int = 1000):
 
     def gen(batch: pa.Table) -> pa.Table:
         ids = batch["id"].to_pylist()
-        return pa.Table.from_pylist([_doc(seed, int(i)) for i in ids], schema=DOCS_SCHEMA)
+        return _docs_table([_doc(seed, int(i)) for i in ids])
 
     return ds.map_batches(gen, batch_format="pyarrow")
 
