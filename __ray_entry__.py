@@ -154,7 +154,7 @@ def _quality_scores(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).repartition(16)
     return ds.map_batches(QualityStage, batch_format="pyarrow", concurrency=2).select_columns(
-        ["doc_id", "n_words", "n_punct", "n_stopwords", "quality_score"]
+        ["doc_id", "n_words", "n_punct", "n_stopwords", "quality_score_micros"]
     )
 
 
@@ -229,6 +229,44 @@ def _export_markdown(sf_dir: str):
     return export_documents(run_flagship(sf_dir), fmt="markdown")
 
 
+def _extraction_confidence(sf_dir: str):
+    """Mean OCR confidence by provider over the REAL extraction output
+    (confidence_micros threaded from OcrOutput through finalize —
+    OcrResult.java:34-41). SQL-checkable because the bridge archetypes and
+    FakeOcrProvider confidence are both sha256-derived (synth.bridge_roll,
+    providers.fake_confidence_bp)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from unravel_ray.pipeline import run_flagship
+
+    ext = run_flagship(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(t["status"], "completed"),
+                       pc.is_valid(t["confidence_micros"]))
+        t = t.filter(keep)
+        return pa.table({
+            "provider": t["provider"],
+            "conf": pc.cast(t["confidence_micros"], pa.int64()),
+        })
+
+    agg = (
+        ext.map_batches(partial, batch_format="pyarrow")
+        .groupby("provider")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("conf", alias_name="sum_confidence_micros"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        mean = pc.divide(t["sum_confidence_micros"],
+                         pc.cast(t["n_docs"], pa.int64()))
+        return t.append_column("mean_confidence_micros", mean)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _minhash_clusters(sf_dir: str):
     import ray.data
 
@@ -278,6 +316,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": R.lineitem_pricing,
         "user_event_totals": R.user_event_totals,
         "top_documents": R.top_documents,
+        "search_content": R.search_content,
+        "documents_filtered": R.documents_filtered,
         "document_previews": R.document_previews,
         "customers_by_region": R.customers_by_region,
         "orders_by_segment": R.orders_by_segment,
@@ -290,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_with_ocr_status": R.docs_with_ocr_status,
         "documents_page2": R.documents_page2,
         "mean_confidence_by_provider": R.mean_confidence_by_provider,
+        "extraction_confidence": _extraction_confidence,
         "distinct_counts": R.distinct_counts,
         "top_docs_per_lang": R.top_docs_per_lang,
         "event_type_counts": R.event_type_counts,
@@ -327,8 +368,96 @@ def queries() -> dict[str, Callable[[str], Any]]:
 _TOKEN_PATTERN = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
 
 
-def oracle_sql() -> dict[str, str]:
+def _stopword_hits_sql(lang: str) -> str:
+    """Sum of RE2 word-boundary occurrence counts of a language's stopword
+    profile over lower(text) — the exact computation LangIdStage /
+    QualityStage run with pyarrow's RE2 kernels."""
+    from unravel_ray.textstats import STOPWORDS
+
+    return " + ".join(
+        rf"len(regexp_extract_all(lower(text), '\b{w}\b'))"
+        for w in sorted(STOPWORDS[lang])
+    )
+
+
+def _bridge_thresholds() -> dict[str, str]:
+    """2-char lowercase-hex thresholds for the bridge archetype roll byte
+    (substr(sha256(key),1,2) compares correctly as a hex string)."""
+    from unravel_ray import synth as S
+
     return {
+        "poison": f"{S.BRIDGE_POISON:02x}",
+        "invalid": f"{S.BRIDGE_INVALID:02x}",
+        "html": f"{S.BRIDGE_HTML:02x}",
+        "text_pdf": f"{S.BRIDGE_TEXT_PDF:02x}",
+        "scanned": f"{S.BRIDGE_SCANNED:02x}",
+        "image": f"{S.BRIDGE_IMAGE:02x}",
+    }
+
+
+_HEXVAL = "strpos('0123456789abcdef', substr({s}, {i}, 1)) - 1"
+
+
+def _sha3_int_sql(expr: str) -> str:
+    """int(substr(sha256(expr),1,3), 16) in portable SQL (no hex cast)."""
+    s = f"sha256({expr})"
+    return (f"(256 * ({_HEXVAL.format(s=s, i=1)}) "
+            f"+ 16 * ({_HEXVAL.format(s=s, i=2)}) "
+            f"+ ({_HEXVAL.format(s=s, i=3)}))")
+
+
+def oracle_sql() -> dict[str, str]:
+    th = _bridge_thresholds()
+    return {
+        "flagship_rollup": f"""
+            WITH d AS (
+              SELECT doc_id // 8 AS cid,
+                     substr(sha256('42:doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')), 1, 2) AS h
+              FROM documents),
+            s AS (
+              SELECT 'col-' || lpad(CAST(cid AS VARCHAR), 6, '0') AS collection_id,
+                     CASE WHEN h < '{th["poison"]}' THEN 'failed'
+                          WHEN h < '{th["invalid"]}' THEN 'failed_validation'
+                          ELSE 'completed' END AS status
+              FROM d)
+            SELECT collection_id, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN status = 'completed' THEN 1 ELSE 0 END) AS BIGINT) AS n_completed,
+                   CAST(SUM(CASE WHEN status <> 'completed' THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+                   CAST(0 AS BIGINT) AS n_pending,
+                   CASE WHEN SUM(CASE WHEN status = 'completed' THEN 1 ELSE 0 END) = COUNT(*)
+                          THEN 'processed'
+                        ELSE 'failed_ocr' END AS collection_status
+            FROM s GROUP BY collection_id
+        """,
+        "extraction_confidence": rf"""
+            WITH base AS (
+              SELECT doc_id AS did,
+                     'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS docid,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS wc,
+                     substr(sha256('42:doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')), 1, 2) AS h
+              FROM documents),
+            scanned AS (
+              SELECT docid,
+                     unnest(generate_series(1,
+                       least(CASE WHEN wc = 0 THEN 1 ELSE (wc + 11) // 12 END, 4))) AS p
+              FROM base WHERE h >= '{th["text_pdf"]}' AND h < '{th["scanned"]}'),
+            image AS (
+              SELECT docid, unnest(generate_series(0, did % 3)) AS j
+              FROM base WHERE h >= '{th["scanned"]}' AND h < '{th["image"]}'),
+            refs AS (
+              SELECT docid, 's3://corpus/' || docid || '/page-' || p || '.pdf' AS ref FROM scanned
+              UNION ALL
+              SELECT docid, 's3://corpus/' || docid || '/img-' || j || '.png' AS ref FROM image),
+            bp AS (
+              SELECT docid, 9000 + {_sha3_int_sql("ref")} % 1000 AS bp FROM refs),
+            docconf AS (
+              SELECT docid, CAST((SUM(bp) * 100) // COUNT(*) AS BIGINT) AS conf
+              FROM bp GROUP BY docid)
+            SELECT 'fake' AS provider, COUNT(*) AS n_docs,
+                   CAST(SUM(conf) AS BIGINT) AS sum_confidence_micros,
+                   CAST(SUM(conf) // COUNT(*) AS BIGINT) AS mean_confidence_micros
+            FROM docconf
+        """,
         "source_stats": """
             SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY source
@@ -356,6 +485,24 @@ def oracle_sql() -> dict[str, str]:
         "top_documents": """
             SELECT doc_id, source, n_chars FROM documents
             ORDER BY n_chars DESC, doc_id LIMIT 20
+        """,
+        "search_content": r"""
+            WITH scored AS (
+              SELECT doc_id, lang,
+                     CAST(len(regexp_extract_all(lower(text), '\bhash\b')) +
+                          len(regexp_extract_all(lower(text), '\bmerge\b')) +
+                          len(regexp_extract_all(lower(text), '\bwindow\b'))
+                       AS BIGINT) AS score
+              FROM documents WHERE lang = 'en')
+            SELECT doc_id, score, lang FROM scored
+            WHERE score > 0
+            ORDER BY score DESC, doc_id
+            LIMIT 20 OFFSET 0
+        """,
+        "documents_filtered": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE lang = 'en' AND n_chars BETWEEN 200 AND 2000
+            ORDER BY n_chars DESC, doc_id LIMIT 25
         """,
         "document_previews": """
             SELECT doc_id,
@@ -516,6 +663,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+        """,
+        "quality_scores": rf"""
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+                     CAST(len(regexp_extract_all(text, '[^\sA-Za-z0-9]')) AS BIGINT) AS n_punct,
+                     CAST(({_stopword_hits_sql("en")}) AS BIGINT) AS n_stopwords
+              FROM documents),
+            s AS (
+              SELECT *,
+                     least(n_words * 1000000 // 50, 1000000) AS a,
+                     1000000 - least(4 * n_punct * 1000000 // greatest(n_chars, 1), 1000000) AS b,
+                     500000 + n_stopwords * 1000000 // greatest(n_words, 1) AS c
+              FROM d)
+            SELECT doc_id, n_words, n_punct, n_stopwords,
+                   CAST(CASE WHEN n_words = 0 THEN 0
+                             ELSE least(a * b // 1000000 * c // 1000000, 1000000)
+                        END AS BIGINT) AS quality_score_micros
+            FROM s
+        """,
+        "lang_distribution": rf"""
+            WITH d AS (
+              SELECT CAST(({_stopword_hits_sql("de")}) AS BIGINT) AS h_de,
+                     CAST(({_stopword_hits_sql("en")}) AS BIGINT) AS h_en,
+                     CAST(({_stopword_hits_sql("es")}) AS BIGINT) AS h_es,
+                     CAST(({_stopword_hits_sql("fr")}) AS BIGINT) AS h_fr
+              FROM documents),
+            b AS (SELECT greatest(h_de, h_en, h_es, h_fr) AS bh, * FROM d)
+            SELECT CASE WHEN bh = 0 THEN 'und'
+                        WHEN h_de = bh THEN 'de'
+                        WHEN h_en = bh THEN 'en'
+                        WHEN h_es = bh THEN 'es'
+                        ELSE 'fr' END AS lang_detected,
+                   COUNT(*) AS n_docs
+            FROM b GROUP BY 1
         """,
         "token_stats": rf"""
             WITH d AS (

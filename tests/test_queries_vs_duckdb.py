@@ -66,16 +66,15 @@ def test_oracle_keys_subset_of_queries(contract):
     assert set(sql) <= set(qs)
 
 
-@pytest.mark.parametrize("name", [
-    "source_stats", "lineitem_pricing", "user_event_totals", "top_documents",
-    "document_previews", "customers_by_region", "orders_by_segment",
-    "first_event_per_user", "event_hourly_windows", "word_counts_by_lang",
-    "validation_accounting", "collection_rollup", "dedup_exact", "ann_topk",
-    "embedding_neardup", "token_stats", "docs_with_ocr_status",
-    "documents_page2", "mean_confidence_by_provider", "distinct_counts",
-    "top_docs_per_lang", "event_type_counts", "collection_size_gate",
-    "event_sessions",
-])
+def _oracle_names() -> list[str]:
+    # derive from the contract so every new oracle_sql() entry is
+    # automatically exercised (collection-time; no Ray needed)
+    import __ray_entry__ as e
+
+    return sorted(e.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", _oracle_names())
 def test_query_matches_oracle(contract, con, name):
     qs, sql = contract
     got = _canon(_to_pandas(qs[name](SF_DIR)))

@@ -159,6 +159,99 @@ def top_documents(sf_dir: str, k: int = 20) -> Dataset:
 
 
 # ---------------------------------------------------------------------------
+# content search — tokenized match + rank + pagination
+# ---------------------------------------------------------------------------
+
+def search_content(sf_dir: str, query: str = "hash merge window",
+                   lang: str = "en", page: int = 1,
+                   page_size: int = 20) -> "pa.Table":
+    """Full-text content search with deterministic relevance ranking.
+
+    Mirrors DocumentSearchService.searchByContent (reference
+    elasticsearch/service/DocumentSearchService.java:83-101: match query
+    over the indexed content, filters, pagination; index fields
+    DocumentSearchIndex.java:45-48,78-79). Elasticsearch BM25 relevance is
+    engine-specific, so the deterministic analog is integer term
+    frequency: score = total word-boundary occurrences of the query's
+    lowercased tokens. Filter: score > 0 AND lang filter (the reference's
+    status/type filter params). Order: score DESC, doc_id ASC. Page k of
+    size n = OFFSET (k-1)*n LIMIT n.
+
+    Scale shape: the scoring scan is a vectorized map (Arrow RE2 kernels,
+    count_substring_regex); each batch keeps only its local top
+    page*page_size candidates, so the driver merge sees at most
+    (#batches x page x page_size) slim rows, never the corpus.
+    """
+    import re as _re
+
+    tokens = [t for t in query.lower().split() if t]
+    keep = page * page_size
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["lang"], lang))
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64()),
+                             "lang": pa.array([], pa.string())})
+        low = pc.utf8_lower(batch["text"])
+        s = None
+        for tok in tokens:
+            c = pc.count_substring_regex(low, rf"\b{_re.escape(tok)}\b")
+            s = c if s is None else pc.add(s, c)
+        t = pa.table({
+            "doc_id": batch["doc_id"],
+            "score": pc.cast(s, pa.int64()),
+            "lang": batch["lang"],
+        }).filter(pc.greater(pc.cast(s, pa.int64()), 0))
+        idx = pc.sort_indices(
+            t, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+        )
+        return t.take(idx[:keep])
+
+    candidates = ds.map_batches(score_batch, batch_format="pyarrow").take_all()
+    merged = pa.Table.from_pylist(
+        candidates,
+        schema=pa.schema([("doc_id", pa.int64()), ("score", pa.int64()),
+                          ("lang", pa.string())]),
+    )
+    idx = pc.sort_indices(
+        merged, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+    )
+    lo = (page - 1) * page_size
+    return merged.take(idx[lo:lo + page_size])
+
+
+# ---------------------------------------------------------------------------
+# filtered listing — filter params + sort + page
+# ---------------------------------------------------------------------------
+
+def documents_filtered(sf_dir: str, lang: str = "en",
+                       min_chars: int = 200, max_chars: int = 2000,
+                       k: int = 25) -> Dataset:
+    """Filtered document listing: the reference's findByUserId + filter
+    params path (DocumentSearchService.java:174-186 — filter by
+    fileType/status/date, sort, page). Filters push down as a vectorized
+    Arrow mask before the sort; only matching slim rows reach the
+    range-partition sort."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(batch["lang"], lang),
+            pc.and_(pc.greater_equal(batch["n_chars"], min_chars),
+                    pc.less_equal(batch["n_chars"], max_chars)),
+        )
+        return batch.filter(mask)
+
+    return (
+        ds.map_batches(filt, batch_format="pyarrow")
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
 # M15 — preview projection
 # ---------------------------------------------------------------------------
 

@@ -269,20 +269,43 @@ def _chunk_words(text: str, chunk: int) -> list[str]:
     return [" ".join(ws[i:i + chunk]) for i in range(0, len(ws), chunk)]
 
 
+def bridge_roll(doc_id: str, seed: int = SEED) -> tuple[int, int]:
+    """Archetype dice for the documents->interleaved bridge: the first two
+    BYTES of sha256(f"{seed}:{doc_id}") — SQL-recomputable (DuckDB:
+    substr(sha256(..), 1, 2) compared as lowercase hex), which is what
+    lets flagship-derived queries carry DuckDB oracles."""
+    d = hashlib.sha256(f"{seed}:{doc_id}".encode()).digest()
+    return d[0], d[1]
+
+
+# bridge archetype thresholds over the 0..255 roll byte — keep in sync
+# with the oracle SQL in __ray_entry__ (hex-string thresholds)
+BRIDGE_POISON = 3        # < 3   (~1.2%) poison image  -> failed
+BRIDGE_INVALID = 8       # < 8   (~2%)   bad mime      -> failed_validation
+BRIDGE_HTML = 110        # < 110 (~40%)  html
+BRIDGE_TEXT_PDF = 174    # < 174 (~25%)  text pdf (direct join)
+BRIDGE_SCANNED = 212     # < 212 (~15%)  scanned pdf   -> OCR
+BRIDGE_IMAGE = 238       # < 238 (~10%)  image(s)      -> OCR
+#                          else  (~7%)   plain text
+BRIDGE_SELECT_PAGES = 51  # second byte < 51 (~20%): page selection on text pdf
+
+
 def interleave_documents_batch(batch: pa.Table, seed: int = SEED) -> pa.Table:
     """map_batches fn: driver ``documents`` rows -> interleaved DOCS_SCHEMA rows.
 
     Deterministic per doc_id; the doc's own text is the only content source.
-    40% html / 25% text-pdf / 15% scanned / 10% image / 10% plain-text,
-    1% poison, 2% invalid — same mix philosophy as make_corpus.
+    ~40% html / 25% text-pdf / 15% scanned / 10% image / 7% plain-text,
+    ~1% poison, ~2% invalid. Every branch decision derives from
+    bridge_roll (sha256 bytes) or the doc's own columns, so archetype,
+    status, provider AND per-ref OCR confidence are recomputable in SQL —
+    the flagship rollup/confidence oracles depend on this.
     """
     rows = []
     for rec in batch.select(["doc_id", "text", "lang"]).to_pylist():
         did = int(rec["doc_id"])
         doc_id = f"doc-{did:08d}"
         text = rec["text"] or ""
-        r = _rng(seed, doc_id)
-        roll = r.random()
+        roll, roll2 = bridge_roll(doc_id, seed)
         spans: list[dict] = []
         mime = "text/html"
         file_size = max(1, len(text))
@@ -293,13 +316,13 @@ def interleave_documents_batch(batch: pa.Table, seed: int = SEED) -> pa.Table:
             spans.append({"kind": kind, "text": t, "media_ref": m, "offset": len(spans)})
 
         chunks = _chunk_words(text, 12)
-        if roll < 0.01:
+        if roll < BRIDGE_POISON:
             mime = "image/png"
             span("image", m=POISON_MARKER)
-        elif roll < 0.03:
+        elif roll < BRIDGE_INVALID:
             mime = "video/mp4"
             span("text", t=text)
-        elif roll < 0.43:
+        elif roll < BRIDGE_HTML:
             mime = "text/html"
             html = []
             for j, c in enumerate(chunks):
@@ -312,18 +335,18 @@ def interleave_documents_batch(batch: pa.Table, seed: int = SEED) -> pa.Table:
                 else:
                     html.append(f"<p>{c}</p>")
             span("html", t="".join(html))
-        elif roll < 0.68:
+        elif roll < BRIDGE_TEXT_PDF:
             mime = "application/pdf"
             for p, c in enumerate(chunks, start=1):
                 span("pdf_page", t=c, m=f"s3://corpus/{doc_id}/page-{p}.pdf")
-            if r.random() < 0.2 and len(chunks) > 2:
+            if roll2 < BRIDGE_SELECT_PAGES and len(chunks) > 2:
                 start_page = 1
                 end_page = max(1, len(chunks) - 1)
-        elif roll < 0.83:
+        elif roll < BRIDGE_SCANNED:
             mime = "application/pdf"
             for p in range(1, min(len(chunks), 4) + 1):
                 span("pdf_page", t="", m=f"s3://corpus/{doc_id}/page-{p}.pdf")
-        elif roll < 0.93:
+        elif roll < BRIDGE_IMAGE:
             mime = "image/png"
             for j in range(1 + did % 3):
                 span("image", m=f"s3://corpus/{doc_id}/img-{j}.png")

@@ -31,65 +31,118 @@ STOPWORDS = {
 TOKEN_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
 
 
+WORD_RE = r"[a-zäöüßéèêàçñáíóú]+"
+
+
 class LangIdStage:
-    """n-gram/stopword language heuristic; profiles built once per actor."""
+    """Stopword-frequency language heuristic, fully vectorized.
 
-    def __init__(self, text_col: str = "text"):
-        self.text_col = text_col
-        self.word_re = re.compile(r"[a-zA-ZäöüßéèêàçñáíóúÄÖÜ]+")
-        self.profiles = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
-
-    def detect(self, text: str) -> tuple[str, float]:
-        words = [w.lower() for w in self.word_re.findall(text or "")]
-        if not words:
-            return "und", 0.0  # undetermined
-        best, best_hits = "und", 0
-        for lang, prof in self.profiles.items():
-            hits = sum(1 for w in words if w in prof)
-            if hits > best_hits or (hits == best_hits and hits and lang < best):
-                best, best_hits = lang, hits
-        return (best if best_hits else "und"), round(best_hits / len(words), 6)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        det = [self.detect(t) for t in batch[self.text_col].to_pylist()]
-        return batch.append_column(
-            "lang_detected", pa.array([d[0] for d in det], pa.string())
-        ).append_column(
-            "lang_confidence", pa.array([d[1] for d in det], pa.float64())
-        )
-
-
-class QualityStage:
-    """Heuristic document-quality features + score.
-
-    Integer feature counts (vectorizable, hash-stable); score is a
-    deterministic rational of those counts.
+    Per-language hit counts are RE2 word-boundary occurrence counts of the
+    profile words over lower(text) (pyarrow count_substring_regex — the
+    same RE2 semantics DuckDB uses, so the oracle can recompute hits
+    exactly). Winner = max hits with alphabetical tiebreak; 'und' when no
+    profile word occurs. Patterns are compiled/held once per actor.
     """
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.stop = frozenset(STOPWORDS["en"])
+        self.patterns = {
+            lang: [rf"\b{w}\b" for w in sorted(ws)]
+            for lang, ws in STOPWORDS.items()
+        }
+
+    def _hits(self, low: pa.ChunkedArray | pa.Array) -> dict[str, np.ndarray]:
+        out = {}
+        for lang, pats in self.patterns.items():
+            acc = None
+            for p in pats:
+                c = pc.count_substring_regex(low, p)
+                acc = c if acc is None else pc.add(acc, c)
+            out[lang] = pc.cast(acc, pa.int64()).to_numpy(zero_copy_only=False)
+        return out
+
+    def detect(self, text: str) -> tuple[str, float]:
+        t = self(pa.table({self.text_col: pa.array([text], pa.string())}))
+        return (t["lang_detected"][0].as_py(), t["lang_confidence"][0].as_py())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        n_chars, n_words, n_punct, n_stop, mean_wl = [], [], [], [], []
-        for t in texts:
-            t = t or ""
-            words = t.split()
-            n_chars.append(len(t))
-            n_words.append(len(words))
-            n_punct.append(sum(1 for c in t if not c.isalnum() and not c.isspace()))
-            n_stop.append(sum(1 for w in words if w.lower() in self.stop))
-            mean_wl.append(round(sum(map(len, words)) / len(words), 4) if words else 0.0)
-        nw = np.maximum(np.array(n_words, dtype=np.float64), 1.0)
-        punct_ratio = np.round(np.array(n_punct) / np.maximum(np.array(n_chars, dtype=np.float64), 1.0), 6)
-        stop_ratio = np.round(np.array(n_stop) / nw, 6)
-        # crude quality: enough words, moderate punctuation, some stopwords
-        score = np.clip(
-            np.minimum(nw / 50.0, 1.0) * (1.0 - np.minimum(punct_ratio * 4, 1.0)) * (0.5 + stop_ratio),
-            0.0, 1.0,
-        )
-        score[np.array(n_words) == 0] = 0.0  # an empty doc has no quality
+        low = pc.utf8_lower(pc.fill_null(batch[self.text_col], ""))
+        n_words = pc.cast(
+            pc.count_substring_regex(low, WORD_RE), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        hits = self._hits(low)
+        langs = sorted(hits)  # alphabetical tiebreak: first argmax wins
+        stack = np.stack([hits[lang] for lang in langs])
+        best_idx = stack.argmax(axis=0)
+        best_hits = stack.max(axis=0)
+        lang_arr = np.array(langs, dtype=object)[best_idx]
+        lang_arr[best_hits == 0] = "und"
+        conf = np.round(best_hits / np.maximum(n_words, 1), 6)
+        conf[n_words == 0] = 0.0
+        return batch.append_column(
+            "lang_detected", pa.array(lang_arr, pa.string())
+        ).append_column("lang_confidence", pa.array(conf, pa.float64()))
+
+
+MICRO = 1_000_000
+
+
+class QualityStage:
+    """Heuristic document-quality features + score, fully vectorized.
+
+    Feature counts are RE2 occurrence counts (Arrow kernels — identical
+    semantics in DuckDB, so every integer column is oracle-checkable):
+
+    * n_words     = occurrences of \\S+
+    * n_punct     = occurrences of [^\\sA-Za-z0-9]
+    * n_stopwords = word-boundary occurrences of the EN stopword profile
+                    over lower(text)
+
+    quality_score_micros is EXACT integer arithmetic in micro-units
+    (hash-stable across engines):
+        a = min(n_words*M//50, M)                    # enough words
+        b = M - min(4*n_punct*M//max(n_chars,1), M)  # moderate punctuation
+        c = M//2 + n_stopwords*M//max(n_words,1)     # some stopwords
+        score = min(a*b//M * c//M, M); 0 when n_words == 0
+    Float convenience columns (ratios, quality_score) derive from the
+    integers and are NOT part of the SQL-checked surface.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.stop_patterns = [rf"\b{w}\b" for w in sorted(STOPWORDS["en"])]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch[self.text_col], "")
+        low = pc.utf8_lower(text)
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy(zero_copy_only=False)
+        n_words = pc.cast(
+            pc.count_substring_regex(text, r"\S+"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        n_punct = pc.cast(
+            pc.count_substring_regex(text, r"[^\sA-Za-z0-9]"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        n_ws = pc.cast(
+            pc.count_substring_regex(text, r"\s"), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        acc = None
+        for p in self.stop_patterns:
+            c = pc.count_substring_regex(low, p)
+            acc = c if acc is None else pc.add(acc, c)
+        n_stop = pc.cast(acc, pa.int64()).to_numpy(zero_copy_only=False)
+
+        nc1 = np.maximum(n_chars, 1)
+        nw1 = np.maximum(n_words, 1)
+        a = np.minimum(n_words * MICRO // 50, MICRO)
+        b = MICRO - np.minimum(4 * n_punct * MICRO // nc1, MICRO)
+        c = MICRO // 2 + n_stop * MICRO // nw1
+        score_micros = np.minimum(a * b // MICRO * c // MICRO, MICRO)
+        score_micros[n_words == 0] = 0  # an empty doc has no quality
+
+        mean_wl = np.round((n_chars - n_ws) / nw1, 4)
+        mean_wl[n_words == 0] = 0.0
+        punct_ratio = np.round(n_punct / nc1, 6)
+        stop_ratio = np.round(n_stop / nw1, 6)
         return (
             batch.append_column("n_words", pa.array(n_words, pa.int64()))
             .append_column("n_punct", pa.array(n_punct, pa.int64()))
@@ -97,7 +150,8 @@ class QualityStage:
             .append_column("mean_word_len", pa.array(mean_wl, pa.float64()))
             .append_column("punct_ratio", pa.array(punct_ratio, pa.float64()))
             .append_column("stop_ratio", pa.array(stop_ratio, pa.float64()))
-            .append_column("quality_score", pa.array(np.round(score, 6), pa.float64()))
+            .append_column("quality_score_micros", pa.array(score_micros, pa.int64()))
+            .append_column("quality_score", pa.array(score_micros / MICRO, pa.float64()))
         )
 
 
