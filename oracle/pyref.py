@@ -63,6 +63,7 @@ def extract_doc(doc: dict) -> dict:
         "n_chars": 0,
         "confidence_micros": None,
         "language_detected": None,
+        "metadata": doc.get("metadata"),
     }
 
     mime = doc.get("mime_type")

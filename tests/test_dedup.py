@@ -129,3 +129,47 @@ def test_distributed_components_match_union_find(ray_session):
     got = {r["node"]: r["label"]
            for r in propagate_min_labels_distributed(ds, n_rounds=6).take_all()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_embedding_neardup_bucketed_matches_broadcast(ray_session):
+    """High-threshold regime: the LSH-banded path must find the same pairs
+    the exact broadcast path finds on clustered vectors."""
+    import numpy as np
+
+    from unravel_ray.dedup import embedding_neardup, embedding_neardup_bucketed
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(6, 16))
+    rows = []
+    vid = 0
+    for c in range(6):
+        for _ in range(3):  # 3 near-identical members per cluster
+            v = base[c] + rng.normal(scale=0.01, size=16)
+            rows.append({"vec_id": vid, "embedding": v.tolist()})
+            vid += 1
+    ds = ray.data.from_items(rows)
+
+    exact = {(r["a"], r["b"])
+             for r in embedding_neardup(ds, threshold=0.98).take_all()}
+    approx = {(r["a"], r["b"])
+              for r in embedding_neardup_bucketed(
+                  ds, threshold=0.98, n_bands=12, n_bits=6).take_all()}
+    assert exact  # the planted clusters produce pairs
+    assert approx == exact
+
+
+def test_embedding_neardup_degrades_to_bucketed(ray_session):
+    """Above the broadcast guard the operator must take the bucketed path
+    automatically instead of raising."""
+    import numpy as np
+
+    from unravel_ray.dedup import embedding_neardup
+
+    rng = np.random.RandomState(3)
+    v = rng.normal(size=16)
+    rows = [{"vec_id": i, "embedding": (v + rng.normal(scale=0.005, size=16)).tolist()}
+            for i in range(8)]
+    ds = ray.data.from_items(rows)
+    out = embedding_neardup(ds, threshold=0.99, max_broadcast_rows=4).take_all()
+    pairs = {(r["a"], r["b"]) for r in out}
+    assert (0, 1) in pairs  # near-identical vectors found via buckets

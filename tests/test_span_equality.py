@@ -74,6 +74,19 @@ def test_status_error_provider_accounting(pipeline_out, oracle_out):
         # micro-mean confidence + detected language, null when no OCR ran
         assert got["confidence_micros"] == want["confidence_micros"], doc_id
         assert got["language_detected"] == want["language_detected"], doc_id
+        # request-metadata JSON passthrough (OcrRequest.java:61-62)
+        assert got["metadata"] == want["metadata"], doc_id
+
+
+def test_metadata_passthrough_populated(pipeline_out):
+    metas = [r["metadata"] for r in pipeline_out.values()]
+    assert any(m is not None for m in metas)  # subset carries metadata
+    assert any(m is None for m in metas)
+    import json
+
+    for m in metas:
+        if m is not None:
+            assert json.loads(m)["channel"] == "bulk"
 
 
 def test_confidence_populated_for_ocr_docs(pipeline_out):

@@ -455,14 +455,22 @@ def embedding_neardup(ds: Dataset, threshold: float = 0.95,
                       max_broadcast_rows: int = 2_000_000) -> Dataset:
     """Cosine-similarity near-dup pairs (a < b, cos >= threshold).
 
-    The full (normalized) matrix is broadcast once via ray.put; each batch
-    computes one numpy matmul against it. O(N*B) per batch — fine while the
-    matrix fits memory (guarded); beyond that use ann.lsh_buckets to
-    restrict comparisons to hash buckets.
+    Default path: the full (normalized) matrix is broadcast once via
+    ray.put; each batch computes one numpy matmul against it — EXACT,
+    O(N*B) per batch, fine while the matrix fits memory. Beyond
+    ``max_broadcast_rows`` the operator DEGRADES AUTOMATICALLY to the
+    LSH-banded bucketed path (embedding_neardup_bucketed) instead of
+    raising: approximate recall (high for thresholds >= ~0.9, the
+    near-duplicate regime), but no driver/broadcast memory dependence on
+    corpus size.
     """
+    # size gate BEFORE collecting anything (count() is metadata-cheap for
+    # file-backed datasets and never pulls rows to the driver)
+    if ds.count() > max_broadcast_rows:
+        return embedding_neardup_bucketed(
+            ds, threshold=threshold, vec_col=vec_col, id_col=id_col
+        )
     mat_rows = ds.select_columns([id_col, vec_col]).take_all()
-    if len(mat_rows) > max_broadcast_rows:
-        raise ValueError("matrix too large to broadcast; use LSH-bucketed path")
     ids = np.array([r[id_col] for r in mat_rows], dtype=np.int64)
     mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in mat_rows])
     norms = np.linalg.norm(mat, axis=1)
@@ -491,6 +499,97 @@ def embedding_neardup(ds: Dataset, threshold: float = 0.95,
                          "cos": pa.array(rows_c, pa.float64())})
 
     return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+def embedding_neardup_bucketed(ds: Dataset, threshold: float = 0.95,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id",
+                               n_bands: int = 8, n_bits: int = 10,
+                               seed: int = 42,
+                               max_bucket_rows: int = 20_000) -> Dataset:
+    """LSH-banded near-dup pairs — the unbounded-corpus path.
+
+    Banding (same shape as MinHash LSH): each vector is assigned one
+    random-hyperplane signature per band (ann.LshIndexStage planes,
+    band-seeded); rows shuffle by (band, bucket); EXACT cosine runs only
+    within buckets; duplicate pairs found by multiple bands collapse in a
+    final slim (a, b) groupby. Recall = 1-(1-p^bits)^bands with
+    p = 1-theta/pi — high in the near-duplicate regime (threshold >= ~0.9);
+    raise n_bands / lower n_bits for lower thresholds.
+
+    Scale: vectors ride the shuffle n_bands times (the standard banding
+    cost); buckets are bounded by ``max_bucket_rows`` — an over-full
+    bucket (degenerate data, e.g. all-identical vectors) is processed in
+    chunked matmuls, never one giant allocation.
+    """
+    from .ann import LshIndexStage, _normalize as _ann_normalize
+
+    first = ds.take(1)
+    if not first:
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64())}))
+    dim = len(first[0][vec_col])
+    stages = [LshIndexStage(dim, n_bits, seed + band, vec_col)
+              for band in range(n_bands)]
+    planes_ref = ray.put([s.planes for s in stages])
+    weights = stages[0].weights
+
+    def expand(batch: pa.Table) -> pa.Table:
+        planes = ray.get(planes_ref)
+        mat = _ann_normalize(np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()]))
+        n = mat.shape[0]
+        bands_col, buckets, ids, vecs = [], [], [], []
+        id_list = batch[id_col].to_pylist()
+        vec_list = batch[vec_col].to_pylist()
+        for band, pl in enumerate(planes):
+            sig = ((mat @ pl) > 0).astype(np.int64) @ weights
+            bands_col.extend([band] * n)
+            buckets.extend(sig.tolist())
+            ids.extend(id_list)
+            vecs.extend(vec_list)
+        return pa.table({
+            "band": pa.array(bands_col, pa.int32()),
+            "bucket": pa.array(buckets, pa.int64()),
+            id_col: pa.array(ids, pa.int64()),
+            vec_col: pa.array(vecs, pa.list_(pa.float64())),
+        })
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        g_ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
+        n = g_ids.shape[0]
+        if n < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        mat = _ann_normalize(np.stack(
+            [np.asarray(v, dtype=np.float64) for v in group[vec_col].to_pylist()]))
+        rows_a, rows_b, rows_c = [], [], []
+        step = max_bucket_rows
+        for lo in range(0, n, step):
+            sims = mat[lo:lo + step] @ mat.T
+            ii, jj = np.nonzero(sims >= threshold)
+            for i, j in zip(ii, jj):
+                a, b = int(g_ids[lo + i]), int(g_ids[j])
+                if a < b:
+                    rows_a.append(a)
+                    rows_b.append(b)
+                    rows_c.append(round(float(sims[i, j]), 6))
+        return pa.table({"a": pa.array(rows_a, pa.int64()),
+                         "b": pa.array(rows_b, pa.int64()),
+                         "cos": pa.array(rows_c, pa.float64())})
+
+    pairs = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["band", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    # collapse duplicates found by multiple bands (slim int shuffle)
+    return (
+        pairs.groupby(["a", "b"])
+        .map_groups(lambda t: t.slice(0, 1), batch_format="pyarrow")
+    )
 
 
 def propagate_min_labels_distributed(edges: Dataset, n_rounds: int = 8) -> Dataset:

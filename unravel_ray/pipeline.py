@@ -74,6 +74,7 @@ def _ocr_stage(units: Dataset, cfg: PipelineConfig) -> Dataset:
             fn_kwargs={
                 "preferred": cfg.preferred_provider,
                 "fallback_chain": tuple(cfg.fallback_chain),
+                "max_retries": cfg.ocr_max_retries,
             },
             batch_format="pyarrow",
             batch_size=None,
@@ -83,6 +84,7 @@ def _ocr_stage(units: Dataset, cfg: PipelineConfig) -> Dataset:
         fn_constructor_kwargs={
             "preferred": cfg.preferred_provider,
             "fallback_chain": cfg.fallback_chain,
+            "max_retries": cfg.ocr_max_retries,
         },
         batch_format="pyarrow",
         batch_size=cfg.ocr_batch_size,

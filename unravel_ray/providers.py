@@ -184,7 +184,17 @@ class ProviderRegistry:
     ``fallback_from`` (OcrProcessingService.java:208-296 tag :286).
     """
 
-    def __init__(self, preferred: str = "fake", fallback_chain: tuple[str, ...] = ("fake",)):
+    def __init__(self, preferred: str = "fake", fallback_chain: tuple[str, ...] = ("fake",),
+                 max_retries: int = 1, backoff_base_s: float = 0.0,
+                 sleep=None):
+        """``max_retries`` = attempts per provider before falling down the
+        chain (ocr.max-retries, OcrProperties.java:50-57; Vision retries 3
+        RPC attempts, GoogleVisionConfig.java:56-67). Backoff between
+        attempts is a deterministic exponential schedule
+        ``backoff_base_s * 2^attempt`` (0 by default — no wall-clock
+        dependence in tests); ``sleep`` is injectable for testing."""
+        import time as _time
+
         self.providers: dict[str, OcrProvider] = {}
         for name in dict.fromkeys((preferred, *fallback_chain)):
             cls = _PROVIDER_CLASSES.get(name)
@@ -196,18 +206,40 @@ class ProviderRegistry:
         self.chain = [n for n in dict.fromkeys((preferred, *fallback_chain)) if n in self.providers]
         if not self.chain:
             raise OcrError(f"no available OCR provider among {preferred}, {fallback_chain}")
+        self.max_retries = max(1, int(max_retries))
+        self.backoff_base_s = backoff_base_s
+        self._sleep = sleep or _time.sleep
+
+    def _attempt(self, provider: OcrProvider, media_refs: list[str],
+                 language: str | None) -> list[OcrOutput]:
+        """One provider pass over a ref list, retried up to max_retries
+        with deterministic backoff; per-ref: first success wins, else the
+        last attempt's failure output is kept."""
+        outputs = provider.extract_batch(media_refs, language)
+        for attempt in range(1, self.max_retries):
+            retry = [i for i, o in enumerate(outputs) if not o.success]
+            if not retry:
+                break
+            if self.backoff_base_s:
+                self._sleep(self.backoff_base_s * (2 ** (attempt - 1)))
+            redo = provider.extract_batch([media_refs[i] for i in retry], language)
+            for i, o in zip(retry, redo):
+                if o.success:
+                    outputs[i] = o
+        return outputs
 
     def extract_batch(self, media_refs: list[str], language: str | None = None
                       ) -> tuple[list[OcrOutput], list[str]]:
-        """Extract a batch; per-ref provider fallback. Returns (outputs, provider_names)."""
-        primary = self.providers[self.chain[0]]
-        outputs = primary.extract_batch(media_refs, language)
+        """Extract a batch; per-provider retry budget, then per-ref
+        fallback down the chain. Returns (outputs, provider_names)."""
+        outputs = self._attempt(self.providers[self.chain[0]], media_refs, language)
         names = [self.chain[0]] * len(outputs)
         for alt in self.chain[1:]:
             pending = [i for i, o in enumerate(outputs) if not o.success]
             if not pending:
                 break
-            alt_out = self.providers[alt].extract_batch([media_refs[i] for i in pending], language)
+            alt_out = self._attempt(
+                self.providers[alt], [media_refs[i] for i in pending], language)
             for i, o in zip(pending, alt_out):
                 if o.success:
                     o.error_message = None

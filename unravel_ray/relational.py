@@ -15,6 +15,7 @@ Scale notes per operator in docstrings. Reads always prune columns.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -348,17 +349,52 @@ def orders_by_segment(sf_dir: str) -> Dataset:
 # O3/D1 — first event per user
 # ---------------------------------------------------------------------------
 
+def _group_head_indices(sorted_tbl: pa.Table, group_col: str, k: int) -> np.ndarray:
+    """Indices of the first k rows of each group-run in an already-sorted
+    table (vectorized run detection on dictionary codes)."""
+    n = sorted_tbl.num_rows
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    codes = pc.dictionary_encode(
+        sorted_tbl[group_col].combine_chunks()).indices.to_numpy()
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(codes[1:], codes[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    counts = np.diff(np.append(starts, n))
+    rank = np.arange(n) - np.repeat(starts, counts)
+    return np.flatnonzero(rank < k)
+
+
+def _partial_group_head(batch: pa.Table, group_col: str,
+                        sort_keys: list[tuple[str, str]], k: int) -> pa.Table:
+    """Combiner: keep only each group's local top-k rows in this batch, so
+    the groupby shuffle moves at most k rows per (group, batch) instead of
+    every row (classic pre-aggregation; see ray_guide 'Aggregation at
+    scale')."""
+    g = batch.sort_by([(group_col, "ascending"), *sort_keys])
+    return g.take(pa.array(_group_head_indices(g, group_col, k)))
+
+
 def first_event_per_user(sf_dir: str) -> Dataset:
     """Per-user earliest event (first-match pick O3, ProcessOcr.java:62-65;
-    dedup-by-key D1). groupby + per-group head(1) after a stable sort.
+    dedup-by-key D1). Combiner-first: each batch pre-reduces to one row
+    per local user, THEN the slim survivors shuffle into the final
+    groupby + head(1).
     """
     ds = _pq(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+    keys = [("ts", "ascending"), ("event_id", "ascending")]
 
     def head1(group: pa.Table) -> pa.Table:
-        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
-        return g.slice(0, 1)
+        return group.sort_by(keys).slice(0, 1)
 
-    return ds.groupby("user_id").map_groups(head1, batch_format="pyarrow")
+    return (
+        ds.map_batches(_partial_group_head,
+                       fn_kwargs={"group_col": "user_id", "sort_keys": keys, "k": 1},
+                       batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(head1, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -534,23 +570,25 @@ def docs_with_ocr_status(sf_dir: str) -> Dataset:
 
     The "ocr_data" side is derived deterministically from the documents
     table (docs with n_chars % 3 == 0 have no OCR row yet; the rest split
-    completed/failed on n_chars % 7). Build side is broadcast (ray.put) —
-    the per-collection join in the reference is small-side by construction.
+    completed/failed on n_chars % 7) — a pure function of the probed row,
+    so the build side is computed MAP-SIDE inside the batch (vectorized
+    if_else), with no driver-side table read and no broadcast at all. The
+    genuine small-side broadcast join lives in customers_by_region /
+    orders_by_segment; the bucketed hash-join shape is in dedup.py.
     """
-    import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
-    ocr_map = {}
-    for did, nch in zip(t["doc_id"].to_pylist(), t["n_chars"].to_pylist()):
-        if nch % 3 == 0:
-            continue  # no OcrData row yet
-        ocr_map[did] = "completed" if nch % 7 != 0 else "failed"
-    map_ref = ray.put(ocr_map)
+    def _mod(col, m: int):
+        # integer modulo via x - (x // m) * m (non-negative inputs)
+        return pc.subtract(col, pc.multiply(pc.divide(col, m), m))
 
     def probe(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(map_ref)
-        ids = batch["doc_id"].to_pylist()
-        status = pa.array([lookup.get(d, "pending") for d in ids], pa.string())
+        nch = batch["n_chars"]
+        m3 = pc.equal(_mod(nch, 3), pa.scalar(0, pa.int64()))
+        m7 = pc.not_equal(_mod(nch, 7), pa.scalar(0, pa.int64()))
+        status = pc.if_else(
+            m3, pa.scalar("pending"),
+            pc.if_else(m7, pa.scalar("completed"), pa.scalar("failed")),
+        )
         return pa.table(
             {"doc_id": batch["doc_id"], "n_chars": batch["n_chars"],
              "ocr_status": status}
@@ -658,14 +696,22 @@ def distinct_counts(sf_dir: str) -> "pa.Table":
 
 def top_docs_per_lang(sf_dir: str, k: int = 3) -> Dataset:
     """Top-k largest docs per language — the window-function
-    (row_number over partition) shape as groupby + per-group head(k)."""
+    (row_number over partition) shape. Combiner-first: each batch keeps
+    only its local per-lang top-k, so the shuffle moves ≤ k rows per
+    (lang, batch)."""
     ds = _pq(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    keys = [("n_chars", "descending"), ("doc_id", "ascending")]
 
     def head_k(group: pa.Table) -> pa.Table:
-        g = group.sort_by([("n_chars", "descending"), ("doc_id", "ascending")])
-        return g.slice(0, k)
+        return group.sort_by(keys).slice(0, k)
 
-    return ds.groupby("lang").map_groups(head_k, batch_format="pyarrow")
+    return (
+        ds.map_batches(_partial_group_head,
+                       fn_kwargs={"group_col": "lang", "sort_keys": keys, "k": k},
+                       batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(head_k, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -46,6 +46,11 @@ DOCS_SCHEMA = pa.schema(
         # retained with status='failed_storage' (partial-success matrix,
         # reference DocumentUploadImplTest storage-failure rows)
         pa.field("storage_error", pa.string()),
+        # free-form request metadata as a JSON string (OcrRequest.metadata
+        # map, OcrRequest.java:61-62; SURVEY.md §1.3 prescribes the
+        # JSON-string encoding for map payloads), carried through to the
+        # extracted row untouched
+        pa.field("metadata", pa.string()),
     ]
 )
 
@@ -70,6 +75,9 @@ EXTRACTED_SCHEMA = pa.schema(
         # first OCR'd unit's detected language in document order; null when
         # nothing was OCR'd. Mirrors OcrResult.languageDetected.
         pa.field("language_detected", pa.string()),
+        # request metadata JSON passed through from the input row
+        # (OcrResult.metadata, OcrRequest.java:61-62)
+        pa.field("metadata", pa.string()),
     ]
 )
 
@@ -97,6 +105,8 @@ WORKUNIT_SCHEMA = pa.schema(
         # doc split across blocks LOCALLY (rows seen != n_units), with no
         # groupby/shuffle and no full-output materialization
         pa.field("n_units", pa.int32()),
+        # request metadata JSON, doc-constant passthrough
+        pa.field("metadata", pa.string()),
     ]
 )
 

@@ -175,3 +175,94 @@ def read_docs_any(path: str, columns: list[str] | None = None) -> Dataset:
         return ray.data.read_lance(path, columns=columns)
     except ImportError:
         return ray.data.read_parquet(path, columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# encrypted-blob ingest/export (FileEntry.java:46-51 isEncrypted +
+# encryptionIv; AesEncryptionServiceImpl.java:53-94)
+# ---------------------------------------------------------------------------
+
+BLOB_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("blob", pa.binary()),
+        pa.field("is_encrypted", pa.bool_()),
+        pa.field("encryption_iv", pa.string()),  # base64, null when clear
+    ]
+)
+
+
+def encrypt_blobs(ds: Dataset, key: bytes) -> Dataset:
+    """Storage-side encryption stage: AES-256-GCM per blob with a
+    deterministic per-doc IV (functions.derive_iv), emitting the
+    FileEntry row shape (is_encrypted=True + base64 IV). The key ships
+    once per task via ray.put — the KMS-handle analog; blobs already
+    marked encrypted pass through untouched (idempotent re-run)."""
+    from .functions import aes_gcm_encrypt, derive_iv
+
+    key_ref = ray.put(key)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        k = ray.get(key_ref)
+        rows_blob, rows_enc, rows_iv = [], [], []
+        encd = batch["is_encrypted"].to_pylist() if "is_encrypted" in batch.column_names \
+            else [False] * batch.num_rows
+        ivs = batch["encryption_iv"].to_pylist() if "encryption_iv" in batch.column_names \
+            else [None] * batch.num_rows
+        for did, blob, already, iv in zip(
+                batch["doc_id"].to_pylist(), batch["blob"].to_pylist(), encd, ivs):
+            if already:
+                rows_blob.append(blob)
+                rows_enc.append(True)
+                rows_iv.append(iv)
+            else:
+                ct, iv_b64 = aes_gcm_encrypt(blob or b"", k, derive_iv(did))
+                rows_blob.append(ct)
+                rows_enc.append(True)
+                rows_iv.append(iv_b64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "blob": pa.array(rows_blob, pa.binary()),
+            "is_encrypted": pa.array(rows_enc, pa.bool_()),
+            "encryption_iv": pa.array(rows_iv, pa.string()),
+        })
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def decrypt_blobs(ds: Dataset, key: bytes) -> Dataset:
+    """Fetch-side decryption stage (the download path decrypts before any
+    extraction — DownloadOcrServiceImpl analog): rows with
+    is_encrypted=True are decrypted with their stored IV; clear rows pass
+    through. Failure-as-result: a bad key/IV yields blob=null +
+    decrypt_error instead of killing the batch."""
+    key_ref = ray.put(key)
+
+    def dec(batch: pa.Table) -> pa.Table:
+        from .functions import aes_gcm_decrypt
+
+        k = ray.get(key_ref)
+        rows_blob, errs = [], []
+        for blob, enc_flag, iv in zip(
+                batch["blob"].to_pylist(),
+                batch["is_encrypted"].to_pylist(),
+                batch["encryption_iv"].to_pylist()):
+            if not enc_flag:
+                rows_blob.append(blob)
+                errs.append(None)
+                continue
+            try:
+                rows_blob.append(aes_gcm_decrypt(blob, k, iv))
+                errs.append(None)
+            except Exception as exc:  # noqa: BLE001 — poison keys must not kill the task
+                rows_blob.append(None)
+                errs.append(f"{type(exc).__name__}: decrypt failed")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "blob": pa.array(rows_blob, pa.binary()),
+            "is_encrypted": pa.array([False] * batch.num_rows, pa.bool_()),
+            "encryption_iv": pa.array([None] * batch.num_rows, pa.string()),
+            "decrypt_error": pa.array(errs, pa.string()),
+        })
+
+    return ds.map_batches(dec, batch_format="pyarrow")

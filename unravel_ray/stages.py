@@ -106,6 +106,7 @@ class _ExplodeBuilder:
                 doc_col("lang"),
                 per_doc(self.size_bucket, pa.int32()),
                 per_doc(counts, pa.int32()),
+                doc_col("metadata"),
             ],
             schema=WORKUNIT_SCHEMA,
         )
@@ -314,7 +315,8 @@ def apply_ocr(batch: pa.Table, registry: ProviderRegistry) -> pa.Table:
 _REGISTRY_CACHE: dict[tuple, ProviderRegistry] = {}
 
 
-def ocr_task(batch: pa.Table, preferred: str, fallback_chain: tuple[str, ...]) -> pa.Table:
+def ocr_task(batch: pa.Table, preferred: str, fallback_chain: tuple[str, ...],
+             max_retries: int = 1) -> pa.Table:
     """Task-based OCR with per-WORKER-PROCESS cached registry.
 
     Ray reuses worker processes across tasks, so the registry (engine
@@ -325,10 +327,11 @@ def ocr_task(batch: pa.Table, preferred: str, fallback_chain: tuple[str, ...]) -
     holding heavyweight engines (Tesseract, Vision RPC channels) keep the
     dedicated actor pool (OcrStage).
     """
-    key = (preferred, tuple(fallback_chain))
+    key = (preferred, tuple(fallback_chain), max_retries)
     reg = _REGISTRY_CACHE.get(key)
     if reg is None:
-        reg = _REGISTRY_CACHE[key] = ProviderRegistry(preferred, fallback_chain)
+        reg = _REGISTRY_CACHE[key] = ProviderRegistry(
+            preferred, fallback_chain, max_retries=max_retries)
     return apply_ocr(batch, reg)
 
 
@@ -344,8 +347,10 @@ class OcrStage:
     TesseractOcrProvider.java:102-119).
     """
 
-    def __init__(self, preferred: str = "fake", fallback_chain: tuple[str, ...] = ("fake",)):
-        self.registry = ProviderRegistry(preferred, fallback_chain)
+    def __init__(self, preferred: str = "fake", fallback_chain: tuple[str, ...] = ("fake",),
+                 max_retries: int = 1):
+        self.registry = ProviderRegistry(preferred, fallback_chain,
+                                         max_retries=max_retries)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return apply_ocr(batch, self.registry)
@@ -386,6 +391,7 @@ PARTIAL_SCHEMA = pa.schema(
         pa.field("collection_id", pa.string()),
         pa.field("doc_status", pa.string()),
         pa.field("val_error", pa.string()),
+        pa.field("metadata", pa.string()),
         pa.field("units", pa.list_(_UNIT_STRUCT)),
     ]
 )
@@ -408,6 +414,7 @@ def _pack_rows(rows: list[dict]) -> list[dict]:
                 "val_error": (r["error_message"]
                                if r["doc_status"] in ("failed_validation", "failed_storage")
                                else None),
+                "metadata": r.get("metadata"),
                 "units": [],
             }
         if r["kind"] is not None or r["error_message"]:
@@ -446,10 +453,12 @@ def _merge_partial_rows(partials: list[dict]) -> list[dict]:
             u["doc_id"] = p["doc_id"]
             u["collection_id"] = p["collection_id"]
             u["doc_status"] = p["doc_status"]
+            u["metadata"] = p.get("metadata")
         if p["doc_status"] in ("failed_validation", "failed_storage") or not units:
             units = [{
                 "doc_id": p["doc_id"], "collection_id": p["collection_id"],
                 "doc_status": p["doc_status"], "error_message": p["val_error"],
+                "metadata": p.get("metadata"),
                 "kind": None, "text": None, "media_ref": None, "offset": 0,
                 "sub": 0, "page_no": None, "pdf_mode": None, "ocr_provider": None,
             }]
@@ -646,6 +655,8 @@ def finalize_block(batch: pa.Table) -> pa.Table:
     )
     take_starts = pa.array(starts)
     n_spans = np.diff(span_offsets).astype(np.int32)
+    meta_col = (pc.take(batch["metadata"], take_starts)
+                if "metadata" in cols else pa.nulls(n_runs, pa.string()))
     return pa.Table.from_arrays(
         [
             pc.take(batch["doc_id"], take_starts),
@@ -658,6 +669,7 @@ def finalize_block(batch: pa.Table) -> pa.Table:
             pa.array(nchars_o, pa.int64()),
             pa.array(conf_o, pa.int32()),
             pa.array(lang_o, pa.string()),
+            meta_col,
         ],
         schema=EXTRACTED_SCHEMA,
     )
@@ -724,6 +736,7 @@ def _reassemble_doc(rows: list[dict]) -> dict:
         "n_chars": 0,
         "confidence_micros": None,
         "language_detected": None,
+        "metadata": first.get("metadata"),
     }
     if first["doc_status"] in ("failed_validation", "failed_storage"):
         out["status"] = first["doc_status"]

@@ -183,6 +183,10 @@ def _doc(seed: int, i: int) -> dict:
         "end_page": end_page,
         "pages": pages,
         "storage_error": storage_error,
+        # request-metadata JSON on a deterministic subset (index-derived so
+        # the RNG stream — and thus corpus content — is unchanged)
+        "metadata": (f'{{"channel":"bulk","priority":{i % 3}}}'
+                     if i % 5 == 0 else None),
     }
 
 
@@ -226,6 +230,7 @@ def _docs_table(rows: list[dict]) -> pa.Table:
             pa.array([r["end_page"] for r in rows], pa.int32()),
             pa.array([r.get("pages") for r in rows], pa.list_(pa.int32())),
             pa.array([r.get("storage_error") for r in rows], pa.string()),
+            pa.array([r.get("metadata") for r in rows], pa.string()),
         ],
         schema=DOCS_SCHEMA,
     )
