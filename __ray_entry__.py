@@ -229,6 +229,17 @@ def _export_markdown(sf_dir: str):
     return export_documents(run_flagship(sf_dir), fmt="markdown")
 
 
+def _flagship_statuses(sf_dir: str):
+    """Slim per-doc status/provider projection of the REAL flagship
+    extraction — SQL-checkable row-for-row because the bridge archetypes
+    are sha256-derived (synth.bridge_roll)."""
+    from unravel_ray.pipeline import run_flagship
+
+    return run_flagship(sf_dir).select_columns(
+        ["doc_id", "collection_id", "status", "provider"]
+    )
+
+
 def _extraction_confidence(sf_dir: str):
     """Mean OCR confidence by provider over the REAL extraction output
     (confidence_micros threaded from OcrOutput through finalize —
@@ -331,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_page2": R.documents_page2,
         "mean_confidence_by_provider": R.mean_confidence_by_provider,
         "extraction_confidence": _extraction_confidence,
+        "flagship_statuses": _flagship_statuses,
         "distinct_counts": R.distinct_counts,
         "top_docs_per_lang": R.top_docs_per_lang,
         "event_type_counts": R.event_type_counts,
@@ -428,6 +440,37 @@ def oracle_sql() -> dict[str, str]:
                           THEN 'processed'
                         ELSE 'failed_ocr' END AS collection_status
             FROM s GROUP BY collection_id
+        """,
+        "flagship_statuses": f"""
+            WITH d AS (
+              SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS docid,
+                     'col-' || lpad(CAST(doc_id // 8 AS VARCHAR), 6, '0') AS cid,
+                     substr(sha256('42:doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')), 1, 2) AS h,
+                     CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS wc
+              FROM documents)
+            SELECT docid AS doc_id, cid AS collection_id,
+                   CASE WHEN h < '{th["poison"]}' THEN 'failed'
+                        WHEN h < '{th["invalid"]}' THEN 'failed_validation'
+                        ELSE 'completed' END AS status,
+                   CASE WHEN h < '{th["poison"]}' THEN 'fake'
+                        WHEN h < '{th["invalid"]}' THEN NULL
+                        WHEN h < '{th["html"]}' THEN 'direct'
+                        WHEN h < '{th["text_pdf"]}'
+                          THEN CASE WHEN wc = 0 THEN 'fake' ELSE 'direct' END
+                        WHEN h < '{th["image"]}' THEN 'fake'
+                        ELSE 'direct' END AS provider
+            FROM d
+        """,
+        "quarantine": f"""
+            SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_id,
+                   'col-' || lpad(CAST(doc_id // 8 AS VARCHAR), 6, '0') AS collection_id,
+                   'extract' AS stage,
+                   'OcrError' AS error_class,
+                   'OcrError: provider cannot read media: ''s3://corpus/POISON''' AS error_message,
+                   CAST(NULL AS VARCHAR) AS media_ref
+            FROM documents
+            WHERE substr(sha256('42:doc-' || lpad(CAST(doc_id AS VARCHAR), 8, '0')), 1, 2)
+                  < '{th["poison"]}'
         """,
         "extraction_confidence": rf"""
             WITH base AS (

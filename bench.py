@@ -141,7 +141,7 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     if "GRAFT_SYNTH_DOCS" not in os.environ:
-        os.environ["GRAFT_SYNTH_DOCS"] = "240000"  # scaling corpus (BASELINE.md §C)
+        os.environ["GRAFT_SYNTH_DOCS"] = "480000"  # scaling corpus (BASELINE.md §C: T_lo >= 60 s)
 
     def one(ncpu: int, only_synth: bool = False) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))

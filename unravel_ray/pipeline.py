@@ -356,6 +356,12 @@ def documents_to_docs(sf_dir: str, cfg: PipelineConfig | None = None) -> Dataset
     cfg = cfg or PipelineConfig()
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    # strip the writer's pandas schema metadata before the repartition —
+    # Ray's block-schema dedup can't hash metadata dicts and logs a
+    # warning per reduce task otherwise
+    ds = ds.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
     ).repartition(32)
     return ds.map_batches(
         interleave_documents_batch, fn_kwargs={"seed": cfg.seed},
