@@ -37,9 +37,6 @@ from .providers import ProviderRegistry
 from .schema import EXTRACTED_SCHEMA, SPLIT_MARKER_STATUS, WORKUNIT_SCHEMA
 from .validate import ALLOWED_MIMES, SINGLE_FILE_MAX_BYTES
 
-_PLACEHOLDER_KIND = None  # row that carries a doc with no content/work
-
-
 class _ExplodeBuilder:
     """Column-wise work-unit builder. Unit-varying fields are Python lists;
     doc-constant fields are recorded ONCE per doc and expanded to unit rows
@@ -696,31 +693,6 @@ def finalize_bucket(group: pa.Table) -> pa.Table:
     return pa.Table.from_pylist(
         _merge_partial_rows(group.to_pylist()), schema=EXTRACTED_SCHEMA
     )
-
-
-def reassemble_bucket(group: pa.Table) -> pa.Table:
-    """Rebuild ordered per-doc span sequences for one hash bucket.
-
-    This runs after the groupby(bucket) shuffle — all rows of a doc are
-    co-located here. Within the bucket: stable sort by (doc_id, offset,
-    sub), then a single pass building each doc's ordered spans, applying
-    the exact PDF join semantics (M1/M2) and failure accounting.
-    """
-    if group.num_rows == 0:
-        return EXTRACTED_SCHEMA.empty_table()
-    g = group.sort_by([("doc_id", "ascending"), ("offset", "ascending"), ("sub", "ascending")])
-    rows = g.to_pylist()
-    out: list[dict] = []
-    i = 0
-    n = len(rows)
-    while i < n:
-        j = i
-        did = rows[i]["doc_id"]
-        while j < n and rows[j]["doc_id"] == did:
-            j += 1
-        out.append(_reassemble_doc(rows[i:j]))
-        i = j
-    return pa.Table.from_pylist(out, schema=EXTRACTED_SCHEMA)
 
 
 def _reassemble_doc(rows: list[dict]) -> dict:
