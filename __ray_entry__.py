@@ -332,8 +332,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "document_previews": R.document_previews,
         "customers_by_region": R.customers_by_region,
         "orders_by_segment": R.orders_by_segment,
+        "orders_customer_join": R.orders_customer_join,
         "first_event_per_user": R.first_event_per_user,
         "event_hourly_windows": R.event_hourly_windows,
+        "event_hopping_windows": R.event_hopping_windows,
         "event_sessions": R.event_sessions,
         "word_counts_by_lang": R.word_counts_by_lang,
         "validation_accounting": R.validation_accounting,
@@ -569,6 +571,12 @@ def oracle_sql() -> dict[str, str]:
             FROM orders LEFT JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
         """,
+        "orders_customer_join": """
+            SELECT o_orderkey, o_custkey AS custkey,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+                   c_mktsegment
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        """,
         "first_event_per_user": """
             SELECT user_id, event_id, event_type, ts FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
@@ -578,6 +586,22 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "event_hopping_windows": """
+            WITH e AS (
+              SELECT user_id,
+                     (epoch_us(ts) // 1800000000) * 1800000000 AS base_us,
+                     CAST(ROUND(value * 100) AS BIGINT) AS vc
+              FROM events),
+            x AS (
+              SELECT user_id, vc,
+                     base_us - unnest(generate_series(0, 1)) * 1800000000
+                       AS window_start_us
+              FROM e)
+            SELECT user_id, CAST(window_start_us AS BIGINT) AS window_start_us,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(vc) AS BIGINT) AS value_cents
+            FROM x GROUP BY user_id, window_start_us
         """,
         "word_counts_by_lang": r"""
             WITH d AS (

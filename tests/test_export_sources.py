@@ -106,3 +106,36 @@ def test_encrypted_blob_roundtrip_pipeline(ray_session):
     # already-encrypted rows pass through encrypt_blobs untouched
     re_enc = {r["doc_id"]: r["blob"] for r in encrypt_blobs(enc, key).take_all()}
     assert re_enc == {d: r["blob"] for d, r in enc_rows.items()}
+
+
+def test_hash_join_semantics(ray_session):
+    """Generic co-group hash join: inner vs left, duplicate-key cartesian,
+    right-column suffixing on collision — no broadcast state anywhere."""
+    import pyarrow as pa
+
+    import ray.data
+    from unravel_ray.relational import hash_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": [1, 1, 2, 3], "v": ["a", "b", "c", "d"]}))
+    right = ray.data.from_arrow(pa.table({
+        "k": [1, 2, 2, 9], "v": ["X", "Y", "Z", "W"], "extra": [10, 20, 30, 40]}))
+
+    inner = sorted(
+        ((r["k"], r["v"], r["v_r"], r["extra"])
+         for r in hash_join(left, right, on="k", how="inner").take_all())
+    )
+    # k=1: 2 left x 1 right; k=2: 1 left x 2 right; k=3/9: no match
+    assert inner == [
+        (1, "a", "X", 10), (1, "b", "X", 10),
+        (2, "c", "Y", 20), (2, "c", "Z", 30),
+    ]
+
+    lj = sorted(
+        ((r["k"], r["v"], r["v_r"], r["extra"])
+         for r in hash_join(left, right, on="k", how="left").take_all()),
+        key=lambda t: (t[0], t[1], t[2] or ""),
+    )
+    assert (3, "d", None, None) in lj
+    assert len(lj) == 5  # 4 inner rows + 1 null-padded left row
+    assert not any(r[0] == 9 for r in lj)  # right-only keys never appear

@@ -168,3 +168,28 @@ def test_extract_publish_repairs_marked_docs(ray_session, tmp_path, monkeypatch)
     assert [(s["kind"], s["text"]) for s in fixed["spans"]] == [
         (s["kind"], s["text"]) for s in victim["spans"]
     ]
+
+
+def test_extract_publish_recovers_from_interrupted_write(ray_session, tmp_path):
+    """A crash mid-write leaves a raw dir WITHOUT PUBLISHED.json; the rerun
+    must discard the partial output and produce a complete committed
+    result (write-audit-publish is all-or-nothing on the manifest)."""
+    import json
+    import os
+
+    corpus = make_corpus(30)
+    cfg = PipelineConfig(ocr_concurrency=1)
+    out_dir = str(tmp_path / "crashpub")
+    raw = os.path.join(out_dir, "raw")
+    os.makedirs(raw)
+    # simulate torn state: a bogus partial file, no manifest
+    with open(os.path.join(raw, "part-garbage.parquet"), "wb") as f:
+        f.write(b"not parquet")
+
+    pub = extract_publish(ray.data.from_arrow(corpus), cfg, out_dir).take_all()
+    assert len(pub) == 30
+    assert os.path.exists(os.path.join(out_dir, "PUBLISHED.json"))
+    with open(os.path.join(out_dir, "PUBLISHED.json")) as f:
+        assert json.load(f)["n_rows"] == 30
+    want = build_extraction(ray.data.from_arrow(corpus), cfg).take_all()
+    assert {r["doc_id"] for r in pub} == {r["doc_id"] for r in want}

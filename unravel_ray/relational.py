@@ -806,3 +806,162 @@ def event_sessions(sf_dir: str, gap_minutes: int = 30) -> Dataset:
         })
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# generic bucketed (co-group) hash join — the non-broadcast join shape
+# ---------------------------------------------------------------------------
+
+def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
+              right_suffix: str = "_r") -> Dataset:
+    """Distributed hash join with NO driver/broadcast state — both sides
+    shuffle by the join key and meet in co-located groups (the shape the
+    broadcast joins in customers_by_region/orders_by_segment degrade to
+    when the build side stops being small).
+
+    Implementation: tag each side, union into one superset-schema stream
+    (missing columns null), ``groupby(on)`` co-groups the key, and the
+    per-group kernel emits the cartesian product of left x right rows
+    (``how='inner'``) or left rows padded with nulls when the key has no
+    right match (``how='left'``). Only the joined columns ride the
+    shuffle — prune with select_columns before calling. Right-side
+    columns colliding with left names get ``right_suffix``.
+
+    Skew note: a hot key's group must fit one task (same constraint as
+    any co-group join); salt hot keys upstream if a key's rows exceed a
+    block.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    lschema = left.schema()   # ray.data.Schema: .names + .types (arrow)
+    rschema = right.schema()
+    lcols = list(lschema.names)
+    rcols = [c for c in rschema.names if c != on]
+    rout = [c + right_suffix if c in lcols else c for c in rcols]
+    rtypes = dict(zip(rschema.names, rschema.types))
+    ltypes = dict(zip(lschema.names, lschema.types))
+    out_fields = (
+        [pa.field("__side", pa.int8())]
+        + [pa.field(c, ltypes[c]) for c in lcols]
+        + [pa.field(o, rtypes[c]) for c, o in zip(rcols, rout)]
+    )
+    union_schema = pa.schema(out_fields)
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            arrays = [pa.array(np.full(n, side, dtype=np.int8))]
+            for f in union_schema.names[1:]:
+                if side == 0:
+                    arrays.append(batch[f] if f in batch.column_names
+                                  else pa.nulls(n, union_schema.field(f).type))
+                else:
+                    # map right's original name to its (possibly suffixed) slot
+                    src = None
+                    if f == on:
+                        src = on
+                    elif f in rout:
+                        src = rcols[rout.index(f)]
+                    if src is not None and src in batch.column_names:
+                        arrays.append(batch[src])
+                    else:
+                        arrays.append(pa.nulls(n, union_schema.field(f).type))
+            return pa.Table.from_arrays(arrays, schema=union_schema)
+        return fn
+
+    unioned = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+    result_schema = pa.schema([pa.field(c, ltypes[c]) for c in lcols]
+                              + [pa.field(o, rtypes[c])
+                                 for c, o in zip(rcols, rout)])
+
+    def join_group(group: pa.Table) -> pa.Table:
+        sides = group["__side"].to_numpy(zero_copy_only=False)
+        l_idx = np.flatnonzero(sides == 0)
+        r_idx = np.flatnonzero(sides == 1)
+        nl, nr = len(l_idx), len(r_idx)
+        if nl == 0 or (nr == 0 and how == "inner"):
+            return result_schema.empty_table()
+        if nr == 0:  # left join, no match: left rows + null right cols
+            lrows = group.take(pa.array(l_idx))
+            arrays = [lrows[c] for c in lcols] + [
+                pa.nulls(nl, result_schema.field(o).type) for o in rout]
+            return pa.Table.from_arrays(arrays, schema=result_schema)
+        # cartesian within the key group
+        li = np.repeat(l_idx, nr)
+        ri = np.tile(r_idx, nl)
+        lrows = group.take(pa.array(li))
+        rrows = group.take(pa.array(ri))
+        arrays = [lrows[c] for c in lcols] + [rrows[o] for o in rout]
+        return pa.Table.from_arrays(arrays, schema=result_schema)
+
+    return unioned.groupby(on).map_groups(join_group, batch_format="pyarrow")
+
+
+def orders_customer_join(sf_dir: str) -> Dataset:
+    """Orders LEFT-joined to customer via the generic co-group hash_join
+    (no broadcast): the reference's files x ocr_data join at a scale where
+    neither side is broadcastable. Slim projected columns only."""
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .map_batches(lambda b: _cents(b, "o_totalprice", "price_cents")
+                     .drop_columns(["o_totalprice"]), batch_format="pyarrow") \
+        .map_batches(lambda t: t.rename_columns(
+            {"o_custkey": "custkey"}.get(c, c) for c in t.column_names),
+            batch_format="pyarrow")
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda t: t.rename_columns(
+            {"c_custkey": "custkey"}.get(c, c) for c in t.column_names),
+            batch_format="pyarrow")
+    return hash_join(orders, cust, on="custkey", how="left")
+
+
+# ---------------------------------------------------------------------------
+# hopping (sliding) window aggregate — §2.9 extension beyond tumbling/session
+# ---------------------------------------------------------------------------
+
+def event_hopping_windows(sf_dir: str, size_min: int = 60,
+                          hop_min: int = 30) -> Dataset:
+    """Per-(user, window) aggregates over HOPPING windows (size 60 min,
+    hop 30 min by default): each event lands in size/hop overlapping
+    windows. Window starts are hop-aligned epoch-microsecond int64 (no
+    engine-specific timestamp arithmetic).
+
+    Shape: vectorized expansion (each batch row repeated size/hop times
+    with arithmetic window starts — no per-row Python), then the same
+    combiner-first pattern as the tumbling windows: per-batch
+    TableGroupBy partials, slim grouped sum shuffle.
+    """
+    size_us = size_min * 60 * 1_000_000
+    hop_us = hop_min * 60 * 1_000_000
+    if size_us % hop_us:
+        raise ValueError("size must be a multiple of hop")
+    reps = size_us // hop_us
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        b = _cents(batch, "value", "value_cents")
+        us = pc.cast(pc.cast(batch["ts"], pa.int64()), pa.int64())
+        base = pc.multiply(pc.divide(us, hop_us), pa.scalar(hop_us, pa.int64()))
+        n = batch.num_rows
+        idx = pa.array(np.repeat(np.arange(n), reps))
+        offs = pa.array(np.tile(np.arange(reps) * hop_us, n))
+        starts = pc.subtract(pc.take(base, idx), offs)
+        # every event is in exactly `reps` windows: start <= ts < start+size
+        # holds for all j in [0, reps) by hop alignment — no filter needed
+        expanded = pa.table({
+            "user_id": pc.take(b["user_id"], idx),
+            "window_start_us": starts,
+            "value_cents": pc.take(b["value_cents"], idx),
+        })
+        g = pa.TableGroupBy(expanded, ["user_id", "window_start_us"]).aggregate(
+            [("value_cents", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["user_id", "window_start_us", "value_cents", "n"])
+
+    return (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["user_id", "window_start_us"])
+        .aggregate(Sum("n", alias_name="n_events"),
+                   Sum("value_cents", alias_name="value_cents"))
+    )
