@@ -134,6 +134,25 @@ def _lsh_topk(sf_dir: str):
     return lsh_topk(ds, q, k=5, n_bits=8)
 
 
+def _ivf_index_topk(sf_dir: str):
+    """Persisted-IVF path: build the partition-pruned index on disk, then
+    query it — I/O scales with probed cells, not corpus size."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from unravel_ray.ann import build_ivf_index, ivf_query_index
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"][:2].to_pylist()])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    idx_dir = tempfile.mkdtemp(prefix="unravel-ivf-")
+    build_ivf_index(ds, idx_dir, n_centroids=8)
+    return ivf_query_index(idx_dir, q, k=5, n_probe=3)
+
+
 def _lang_distribution(sf_dir: str):
     import ray.data
 
@@ -357,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann_topk,
         "lsh_topk": _lsh_topk,
         "ivf_topk": _ivf_topk,
+        "ivf_index_topk": _ivf_index_topk,
         # text analysis
         "lang_distribution": _lang_distribution,
         "quality_scores": _quality_scores,

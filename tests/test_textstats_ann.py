@@ -93,3 +93,45 @@ def test_ivf_topk_self_recall_and_quality(ray_session):
     top = {r["query_idx"]: r["vec_id"] for r in rows if r["rank"] == 0}
     assert top == {0: 0, 1: 1, 2: 2}  # each query finds itself
     assert all(len([r for r in rows if r["query_idx"] == qi]) == 5 for qi in range(3))
+
+
+def test_persisted_ivf_index_roundtrip(ray_session, tmp_path):
+    """build_ivf_index commits a partition-pruned layout; querying it
+    touches only probed cell dirs and matches the streamed ivf_topk recall
+    contract (self-query returns itself at rank 0)."""
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    from unravel_ray.ann import build_ivf_index, ivf_query_index
+
+    rng = np.random.RandomState(11)
+    rows = [{"vec_id": i, "embedding": rng.normal(size=12).tolist()}
+            for i in range(300)]
+    ds = ray.data.from_items(rows)
+    idx_dir = str(tmp_path / "ivf")
+    meta = build_ivf_index(ds, idx_dir, n_centroids=8, seed=7)
+    assert meta["n_rows"] == 300
+    assert os.path.exists(os.path.join(idx_dir, "INDEX.json"))
+    cell_dirs = [d for d in os.listdir(os.path.join(idx_dir, "cells"))
+                 if d.startswith("ivf_cell=")]
+    assert len(cell_dirs) >= 2  # data actually spread across partitions
+    # every row landed in exactly one cell
+    total = sum(
+        pads.dataset(os.path.join(idx_dir, "cells", d)).count_rows()
+        for d in cell_dirs
+    )
+    assert total == 300
+    with open(os.path.join(idx_dir, "INDEX.json")) as f:
+        assert json.load(f)["n_centroids"] == 8
+
+    queries = np.stack([np.asarray(rows[i]["embedding"]) for i in (3, 42)])
+    out = ivf_query_index(idx_dir, queries, k=5, n_probe=3).to_pylist()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_idx"], []).append(r)
+    # self-query: the vector itself is in its own nearest cell -> rank 0
+    assert by_q[0][0]["vec_id"] == 3 and by_q[0][0]["rank"] == 0
+    assert by_q[1][0]["vec_id"] == 42

@@ -206,3 +206,88 @@ def ivf_topk(ds: Dataset, queries: np.ndarray, k: int = 10, n_centroids: int = 1
 
     candidates = indexed.map_batches(keep, batch_format="pyarrow")
     return brute_force_topk(candidates, queries, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index — partition-pruned reads (the 100 TB query path)
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(ds: Dataset, index_dir: str, n_centroids: int = 16,
+                    sample_rows: int = 10_000, seed: int = 42,
+                    vec_col: str = "embedding", id_col: str = "vec_id") -> dict:
+    """Materialize an IVF index on disk: rows written as parquet
+    PARTITIONED BY cell (``ivf_cell=N/`` directories), centroids + a
+    manifest committed alongside. Queries then touch only the probed
+    cells' files — a genuine partition-pruned read, unlike the streamed
+    broadcast-filter in ivf_topk.
+
+    Layout:
+        index_dir/cells/ivf_cell=<c>/*.parquet   (vec rows of cell c)
+        index_dir/centroids.npy                  (n_centroids x dim)
+        index_dir/INDEX.json                     (commit manifest)
+    """
+    import json
+    import os
+    import shutil
+
+    import ray as _ray
+
+    n_total = ds.count()
+    frac = min(1.0, sample_rows / max(n_total, 1))
+    sample_ds = ds if frac >= 1.0 else ds.random_sample(frac, seed=seed)
+    sample = [r[vec_col] for r in sample_ds.take_all()]
+    cents = _kmeans_fit(np.stack(sample), n_centroids, seed=seed)
+    cents_ref = _ray.put(cents)
+
+    cells_dir = os.path.join(index_dir, "cells")
+    manifest = os.path.join(index_dir, "INDEX.json")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+    indexed = ds.map_batches(
+        IvfIndexStage,
+        fn_constructor_kwargs=dict(centroids_ref=cents_ref, vec_col=vec_col),
+        batch_format="pyarrow", concurrency=2,
+    )
+    indexed.write_parquet(cells_dir, partition_cols=["ivf_cell"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    meta = {"n_centroids": int(cents.shape[0]), "dim": int(cents.shape[1]),
+            "n_rows": int(n_total), "vec_col": vec_col, "id_col": id_col}
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, manifest)  # commit point
+    return meta
+
+
+def ivf_query_index(index_dir: str, queries: np.ndarray, k: int = 10,
+                    n_probe: int = 2) -> pa.Table:
+    """Query a persisted IVF index: rank cells per query against the saved
+    centroids, READ ONLY the probed cells' partition directories, exact
+    cosine re-rank inside. I/O scales with probed cells, not corpus size.
+    """
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "INDEX.json")) as f:
+        meta = json.load(f)
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]
+    wanted = sorted(set(int(c) for c in probe.ravel()))
+    dirs = [os.path.join(index_dir, "cells", f"ivf_cell={c}") for c in wanted]
+    # expand to files: read_parquet accepts one directory but a LIST must
+    # be file paths (empty cells simply have no directory)
+    paths = [
+        os.path.join(d, f)
+        for d in dirs if os.path.isdir(d)
+        for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+    ]
+    if not paths:
+        return pa.table({"query_idx": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         meta["id_col"]: pa.array([], pa.int64()),
+                         "cos": pa.array([], pa.float64())})
+    cells = ray.data.read_parquet(paths)
+    return brute_force_topk(cells, queries, k, meta["vec_col"], meta["id_col"])
