@@ -33,6 +33,8 @@ def _headline_queries():
         "minhash_pairs",
         "ann_topk",
         "event_hourly_windows",
+        "search_content",
+        "orders_customer_join",
     ]
     return {n: q[n] for n in names}
 

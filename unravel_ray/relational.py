@@ -813,26 +813,31 @@ def event_sessions(sf_dir: str, gap_minutes: int = 30) -> Dataset:
 # ---------------------------------------------------------------------------
 
 def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
-              right_suffix: str = "_r") -> Dataset:
-    """Distributed hash join with NO driver/broadcast state — both sides
-    shuffle by the join key and meet in co-located groups (the shape the
-    broadcast joins in customers_by_region/orders_by_segment degrade to
-    when the build side stops being small).
+              right_suffix: str = "_r", n_buckets: int = 32) -> Dataset:
+    """Distributed BUCKETED hash join with no driver/broadcast state —
+    both sides shuffle by hash(key) % n_buckets and meet in co-located
+    bucket groups, where Arrow's C++ hash join does the actual matching
+    (the shape the broadcast joins in customers_by_region /
+    orders_by_segment degrade to when the build side stops being small).
 
     Implementation: tag each side, union into one superset-schema stream
-    (missing columns null), ``groupby(on)`` co-groups the key, and the
-    per-group kernel emits the cartesian product of left x right rows
-    (``how='inner'``) or left rows padded with nulls when the key has no
-    right match (``how='left'``). Only the joined columns ride the
-    shuffle — prune with select_columns before calling. Right-side
-    columns colliding with left names get ``right_suffix``.
+    (missing columns null), ``groupby(__bucket)`` co-groups each hash
+    bucket, and the per-bucket kernel splits the sides back out and runs
+    ``pyarrow.Table.join`` (inner / left outer; duplicate keys produce
+    the cartesian of matches natively). Bucketing instead of per-key
+    grouping keeps the group count fixed (n_buckets) regardless of key
+    cardinality — per-group scheduling overhead doesn't scale with keys.
+    Only the joined columns ride the shuffle — prune with select_columns
+    before calling. Right-side columns colliding with left names get
+    ``right_suffix``.
 
-    Skew note: a hot key's group must fit one task (same constraint as
-    any co-group join); salt hot keys upstream if a key's rows exceed a
+    Skew note: a hot KEY still lands in one bucket (same constraint as
+    any hash join); salt hot keys upstream if one key's rows exceed a
     block.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}")
+    arrow_how = {"inner": "inner", "left": "left outer"}[how]
     lschema = left.schema()   # ray.data.Schema: .names + .types (arrow)
     rschema = right.schema()
     lcols = list(lschema.names)
@@ -840,18 +845,31 @@ def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
     rout = [c + right_suffix if c in lcols else c for c in rcols]
     rtypes = dict(zip(rschema.names, rschema.types))
     ltypes = dict(zip(lschema.names, lschema.types))
-    out_fields = (
-        [pa.field("__side", pa.int8())]
+    union_schema = pa.schema(
+        [pa.field("__side", pa.int8()), pa.field("__bucket", pa.int32())]
         + [pa.field(c, ltypes[c]) for c in lcols]
         + [pa.field(o, rtypes[c]) for c, o in zip(rcols, rout)]
     )
-    union_schema = pa.schema(out_fields)
+    key_type = ltypes[on]
+
+    def _bucket_of(key_arr) -> pa.Array:
+        if pa.types.is_integer(key_type):
+            k = key_arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % n_buckets
+            return pa.array(b.astype(np.int32))
+        import zlib as _z
+
+        return pa.array(
+            [_z.crc32(str(v).encode()) % n_buckets for v in key_arr.to_pylist()],
+            pa.int32(),
+        )
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
-            arrays = [pa.array(np.full(n, side, dtype=np.int8))]
-            for f in union_schema.names[1:]:
+            arrays = [pa.array(np.full(n, side, dtype=np.int8)),
+                      _bucket_of(batch[on])]
+            for f in union_schema.names[2:]:
                 if side == 0:
                     arrays.append(batch[f] if f in batch.column_names
                                   else pa.nulls(n, union_schema.field(f).type))
@@ -872,31 +890,18 @@ def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
     unioned = left.map_batches(tag(0), batch_format="pyarrow").union(
         right.map_batches(tag(1), batch_format="pyarrow")
     )
-    result_schema = pa.schema([pa.field(c, ltypes[c]) for c in lcols]
-                              + [pa.field(o, rtypes[c])
-                                 for c, o in zip(rcols, rout)])
+    out_names = lcols + rout
 
-    def join_group(group: pa.Table) -> pa.Table:
-        sides = group["__side"].to_numpy(zero_copy_only=False)
-        l_idx = np.flatnonzero(sides == 0)
-        r_idx = np.flatnonzero(sides == 1)
-        nl, nr = len(l_idx), len(r_idx)
-        if nl == 0 or (nr == 0 and how == "inner"):
-            return result_schema.empty_table()
-        if nr == 0:  # left join, no match: left rows + null right cols
-            lrows = group.take(pa.array(l_idx))
-            arrays = [lrows[c] for c in lcols] + [
-                pa.nulls(nl, result_schema.field(o).type) for o in rout]
-            return pa.Table.from_arrays(arrays, schema=result_schema)
-        # cartesian within the key group
-        li = np.repeat(l_idx, nr)
-        ri = np.tile(r_idx, nl)
-        lrows = group.take(pa.array(li))
-        rrows = group.take(pa.array(ri))
-        arrays = [lrows[c] for c in lcols] + [rrows[o] for o in rout]
-        return pa.Table.from_arrays(arrays, schema=result_schema)
+    def join_bucket(group: pa.Table) -> pa.Table:
+        sides = group["__side"]
+        ltbl = group.filter(pc.equal(sides, 0)).select(lcols)
+        rtbl = (group.filter(pc.equal(sides, 1)).select([on] + rout)
+                .rename_columns([on] + rcols))
+        joined = ltbl.join(rtbl, keys=on, join_type=arrow_how,
+                           right_suffix=right_suffix)
+        return joined.select(out_names)
 
-    return unioned.groupby(on).map_groups(join_group, batch_format="pyarrow")
+    return unioned.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def orders_customer_join(sf_dir: str) -> Dataset:
