@@ -352,6 +352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_by_region": R.customers_by_region,
         "orders_by_segment": R.orders_by_segment,
         "orders_customer_join": R.orders_customer_join,
+        "purchases_with_last_click": R.purchases_with_last_click,
+        "sample_documents": R.sample_documents,
         "first_event_per_user": R.first_event_per_user,
         "event_hourly_windows": R.event_hourly_windows,
         "event_hopping_windows": R.event_hopping_windows,
@@ -596,6 +598,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
                    c_mktsegment
             FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        """,
+        "sample_documents": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE (
+                4096 * (strpos('0123456789abcdef', substr(sha256('sample:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+              +  256 * (strpos('0123456789abcdef', substr(sha256('sample:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+              +   16 * (strpos('0123456789abcdef', substr(sha256('sample:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1)
+              +        (strpos('0123456789abcdef', substr(sha256('sample:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+              ) < 6553
+        """,
+        "purchases_with_last_click": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+            c AS (
+              SELECT user_id, ts, MAX(event_id) AS event_id
+              FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+            SELECT p.event_id, p.user_id,
+                   CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+                   CAST(COALESCE(c.event_id, -1) AS BIGINT) AS click_event_id,
+                   CAST(COALESCE(epoch_us(p.ts) - epoch_us(c.ts), -1) AS BIGINT) AS gap_us
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "first_event_per_user": """
             SELECT user_id, event_id, event_type, ts FROM events

@@ -139,3 +139,36 @@ def test_hash_join_semantics(ray_session):
     assert (3, "d", None, None) in lj
     assert len(lj) == 5  # 4 inner rows + 1 null-padded left row
     assert not any(r[0] == 9 for r in lj)  # right-only keys never appear
+
+
+def test_asof_join_semantics(ray_session):
+    """Backward as-of: last right row with ts <= left ts per key; nulls
+    when nothing precedes; keys missing from right entirely -> nulls."""
+    import pyarrow as pa
+
+    import ray.data
+    from unravel_ray.relational import asof_join
+
+    left = ray.data.from_arrow(pa.table({
+        "lid": [1, 2, 3, 4],
+        "k": ["a", "a", "a", "b"],
+        "t": pa.array([10, 25, 5, 50], pa.int64()),
+    }))
+    right = ray.data.from_arrow(pa.table({
+        "k": ["a", "a", "a", "c"],
+        "t": pa.array([8, 20, 30, 1], pa.int64()),
+        "rv": ["r8", "r20", "r30", "rc"],
+    }))
+    out = {r["lid"]: r for r in asof_join(
+        left, right, by="k", on="t", right_keep=["rv", "t"]).take_all()}
+    assert out[1]["rv"] == "r8"     # t=10 -> last right at 8
+    assert out[2]["rv"] == "r20"    # t=25 -> 20 (not 30)
+    assert out[3]["rv"] is None     # t=5 precedes everything
+    assert out[4]["rv"] is None     # key 'b' absent from right
+    assert out[2]["t_r"] == 20      # right timestamp carried, suffixed
+    # exact-tie matches inclusively (right.t <= left.t)
+    left2 = ray.data.from_arrow(pa.table({
+        "lid": [9], "k": ["a"], "t": pa.array([20], pa.int64())}))
+    tie = asof_join(left2, right, by="k", on="t",
+                    right_keep=["rv"]).take_all()[0]
+    assert tie["rv"] == "r20"

@@ -970,3 +970,153 @@ def event_hopping_windows(sf_dir: str, size_min: int = 60,
         .aggregate(Sum("n", alias_name="n_events"),
                    Sum("value_cents", alias_name="value_cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling — hash-gated, engine-independent
+# ---------------------------------------------------------------------------
+
+def sample_documents(sf_dir: str, pct: int = 10) -> Dataset:
+    """Deterministic corpus sample: keep rows whose sha256('sample:'+id)
+    first-two-byte value falls under pct% of 65536. Unlike random_sample,
+    the SAME rows are selected by any engine at any parallelism — the
+    reproducible-subset operator a training-data pipeline needs for
+    held-out splits and debugging slices."""
+    import hashlib as _h
+
+    cut = (65536 * pct) // 100
+    ds = _pq(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        mask = pa.array(
+            [int(_h.sha256(f"sample:{d}".encode()).hexdigest()[:4], 16) < cut
+             for d in ids], pa.bool_())
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# as-of join — the time-series operator Ray Data lacks
+# ---------------------------------------------------------------------------
+
+def asof_join(left: Dataset, right: Dataset, by: str, on: str,
+              right_keep: list[str], right_suffix: str = "_r") -> Dataset:
+    """Backward as-of join: for each left row, the LAST right row of the
+    same ``by`` key with right.on <= left.on (nulls when none precedes).
+
+    Composition (north-rule custom-operator path (a)): tagged union ->
+    groupby(by) co-group -> per-group vectorized sort + np.searchsorted.
+    Partitioning assumption: one ``by`` key's rows fit a group (salt hot
+    keys upstream; for extreme key cardinality wrap keys in hash buckets
+    exactly like hash_join — the per-group kernel is unchanged).
+    """
+    lschema = left.schema()
+    rschema = right.schema()
+    lcols = list(lschema.names)
+    rtypes = dict(zip(rschema.names, rschema.types))
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rout = [c + right_suffix if c in lcols else c for c in right_keep]
+    union_schema = pa.schema(
+        [pa.field("__side", pa.int8())]
+        + [pa.field(c, ltypes[c]) for c in lcols]
+        + [pa.field("__ron", rtypes[on])]
+        + [pa.field(o, rtypes[c]) for c, o in zip(right_keep, rout)]
+    )
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            arrays = [pa.array(np.full(n, side, dtype=np.int8))]
+            for c in lcols:
+                if side == 0:
+                    arrays.append(batch[c])
+                elif c == by:
+                    arrays.append(batch[by])
+                else:
+                    arrays.append(pa.nulls(n, ltypes[c]))
+            arrays.append(batch[on] if side == 1 else pa.nulls(n, rtypes[on]))
+            for c in right_keep:
+                arrays.append(batch[c] if side == 1
+                              else pa.nulls(n, rtypes[c]))
+            return pa.Table.from_arrays(arrays, schema=union_schema)
+        return fn
+
+    unioned = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+    result_schema = pa.schema([pa.field(c, ltypes[c]) for c in lcols]
+                              + [pa.field(o, rtypes[c])
+                                 for c, o in zip(right_keep, rout)])
+
+    def group_asof(group: pa.Table) -> pa.Table:
+        sides = group["__side"].to_numpy(zero_copy_only=False)
+        l_idx = np.flatnonzero(sides == 0)
+        if l_idx.size == 0:
+            return result_schema.empty_table()
+        r_idx = np.flatnonzero(sides == 1)
+        ltbl = group.take(pa.array(l_idx))
+        l_on = pc.cast(ltbl[on], pa.int64()).to_numpy(zero_copy_only=False)
+        arrays = [ltbl[c] for c in lcols]
+        if r_idx.size == 0:
+            arrays += [pa.nulls(l_idx.size, result_schema.field(o).type)
+                       for o in rout]
+            return pa.Table.from_arrays(arrays, schema=result_schema)
+        rtbl = group.take(pa.array(r_idx))
+        r_on = pc.cast(rtbl["__ron"], pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(r_on, kind="stable")
+        r_sorted = r_on[order]
+        pos = np.searchsorted(r_sorted, l_on, side="right") - 1
+        matched = pos >= 0
+        take_r = np.where(matched, order[np.maximum(pos, 0)], 0)
+        for c, o in zip(right_keep, rout):
+            col = pc.take(rtbl[o], pa.array(take_r))
+            col = pc.if_else(pa.array(matched), col,
+                             pa.nulls(1, result_schema.field(o).type)[0])
+            arrays.append(col)
+        return pa.Table.from_arrays(arrays, schema=result_schema)
+
+    return unioned.groupby(by).map_groups(group_asof, batch_format="pyarrow")
+
+
+def purchases_with_last_click(sf_dir: str) -> Dataset:
+    """For every purchase event, the user's most recent click at-or-before
+    it (backward as-of). Right side deduped to one click per (user, ts)
+    by max event_id so the match is total-order deterministic; nulls
+    encoded as -1 for engine-stable hashing."""
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase"))
+        .select(["event_id", "user_id", "ts"]), batch_format="pyarrow")
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click"))
+        .select(["event_id", "user_id", "ts"]), batch_format="pyarrow")
+
+    def dedupe_clicks(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch, ["user_id", "ts"]).aggregate([("event_id", "max")])
+        return g.rename_columns(["user_id", "ts", "event_id"])
+
+    # partial per-batch dedupe, exact dedupe inside the co-group via the
+    # same max rule applied by asof (identical (user, ts) rows collapse)
+    clicks_u = (
+        clicks.map_batches(dedupe_clicks, batch_format="pyarrow")
+        .groupby(["user_id", "ts"])
+        .aggregate(Max("event_id", alias_name="event_id"))
+    )
+    joined = asof_join(purchases, clicks_u, by="user_id", on="ts",
+                       right_keep=["event_id", "ts"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        click_ts = pc.cast(t["ts_r"], pa.int64())
+        gap = pc.subtract(ts_us, click_ts)
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts_us": ts_us,
+            "click_event_id": pc.fill_null(t["event_id_r"], -1),
+            "gap_us": pc.fill_null(gap, -1),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
