@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_customer_join": R.orders_customer_join,
         "purchases_with_last_click": R.purchases_with_last_click,
         "sample_documents": R.sample_documents,
+        "orders_price_bands": R.orders_price_bands,
         "first_event_per_user": R.first_event_per_user,
         "event_hourly_windows": R.event_hourly_windows,
         "event_hopping_windows": R.event_hopping_windows,
@@ -607,6 +608,17 @@ def oracle_sql() -> dict[str, str]:
               +   16 * (strpos('0123456789abcdef', substr(sha256('sample:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1)
               +        (strpos('0123456789abcdef', substr(sha256('sample:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
               ) < 6553
+        """,
+        "orders_price_bands": """
+            WITH bands(lo, hi, price_band) AS (VALUES
+              (0.0, 20000.0, 'small'), (20000.0, 100000.0, 'medium'),
+              (100000.0, 250000.0, 'large'), (250000.0, 1e18, 'jumbo'))
+            SELECT price_band, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS price_cents
+            FROM orders JOIN bands
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY price_band
         """,
         "purchases_with_last_click": """
             WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),

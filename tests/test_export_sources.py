@@ -172,3 +172,27 @@ def test_asof_join_semantics(ray_session):
     tie = asof_join(left2, right, by="k", on="t",
                     right_keep=["rv"]).take_all()[0]
     assert tie["rv"] == "r20"
+
+
+def test_range_join_semantics(ray_session):
+    """Interval containment: [lo, hi) bands, outside rows get nulls,
+    bands validated sorted/disjoint."""
+    import pyarrow as pa
+    import pytest as _pt
+
+    import ray.data
+    from unravel_ray.relational import range_join
+
+    bands = pa.table({
+        "lo": pa.array([0.0, 10.0], pa.float64()),
+        "hi": pa.array([10.0, 20.0], pa.float64()),
+        "label": ["low", "high"],
+    })
+    ds = ray.data.from_arrow(pa.table({"v": pa.array([-1.0, 0.0, 9.999, 10.0, 25.0])}))
+    out = [r["label"] for r in range_join(ds, bands, value_col="v").take_all()]
+    assert out == [None, "low", "low", "high", None]
+
+    bad = pa.table({"lo": pa.array([0.0, 5.0]), "hi": pa.array([6.0, 9.0]),
+                    "label": ["a", "b"]})  # overlapping
+    with _pt.raises(ValueError, match="disjoint"):
+        range_join(ds, bad, value_col="v")

@@ -1120,3 +1120,74 @@ def purchases_with_last_click(sf_dir: str) -> Dataset:
         })
 
     return joined.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# range (non-equi interval) join — broadcast band table + searchsorted
+# ---------------------------------------------------------------------------
+
+def range_join(ds: Dataset, bands: "pa.Table", value_col: str,
+               lo_col: str = "lo", hi_col: str = "hi") -> Dataset:
+    """Non-equi join: attach to each row the band whose
+    [lo, hi) interval contains row[value_col] (bands must be disjoint and
+    sorted; rows outside every band get nulls).
+
+    The band table is small by construction (it is a dimension), so this
+    is a BROADCAST non-equi join: ray.put once, one vectorized
+    np.searchsorted per batch — no shuffle, no per-row predicate loop.
+    """
+    lows = np.asarray(bands[lo_col].to_pylist(), dtype=np.float64)
+    his = np.asarray(bands[hi_col].to_pylist(), dtype=np.float64)
+    if not (np.all(np.diff(lows) > 0) and np.all(lows < his)
+            and np.all(his[:-1] <= lows[1:])):
+        raise ValueError("bands must be sorted and disjoint with lo < hi")
+    band_cols = {c: bands[c] for c in bands.column_names
+                 if c not in (lo_col, hi_col)}
+    ref = ray.put((lows, his, {c: a.to_pylist() for c, a in band_cols.items()},
+                   {c: bands.schema.field(c).type for c in band_cols}))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lo, hi, cols, types = ray.get(ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = np.searchsorted(lo, v, side="right") - 1
+        inside = (pos >= 0) & (v < hi[np.maximum(pos, 0)])
+        take = np.maximum(pos, 0)
+        for c, values in cols.items():
+            col = pa.array(
+                [values[take[i]] if inside[i] else None for i in range(len(v))],
+                types[c],
+            )
+            batch = batch.append_column(c, col)
+        return batch
+
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+PRICE_BANDS = pa.table({
+    "lo": pa.array([0.0, 20_000.0, 100_000.0, 250_000.0], pa.float64()),
+    "hi": pa.array([20_000.0, 100_000.0, 250_000.0, 1e18], pa.float64()),
+    "price_band": pa.array(["small", "medium", "large", "jumbo"], pa.string()),
+})
+
+
+def orders_price_bands(sf_dir: str) -> Dataset:
+    """Orders bucketed into static price bands via the range join, rolled
+    up per band — the interval-dimension join shape (rate tables, SLA
+    tiers, size classes)."""
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    joined = range_join(ds, PRICE_BANDS, value_col="o_totalprice")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = _cents(batch, "o_totalprice", "price_cents")
+        g = pa.TableGroupBy(b.select(["price_band", "price_cents"]),
+                            "price_band").aggregate(
+            [("price_cents", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(["price_band", "price_cents", "n"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("price_band")
+        .aggregate(Sum("n", alias_name="n_orders"),
+                   Sum("price_cents", alias_name="price_cents"))
+    )
