@@ -196,3 +196,89 @@ def test_simhash_in_range_and_stable(text):
     h = simhash64(text)
     assert 0 <= h < (1 << 64)
     assert simhash64(text) == h
+
+
+# richer soup for the fast-parser differential: quotes, slashes, attrs,
+# entities, comments, stray '<' — everything that can trigger fallback
+fast_soup_atom = st.sampled_from([
+    "<p>", "</p>", "<P >", "<div>", "</div>", "<br>", "<br/>", "<li>",
+    "<ul>", "</ul>", "<a href=\"x/y\">", "<a href='q'>", "<a href=x/>",
+    "<b/>", "<em a=1 />", "<span a=\"</span>\">", "&amp;", "&", "<!--c-->",
+    "<!doctype html>", "< p", "<", ">", "word", " txt ", "\nline\n",
+    "<script>", "</script>", "<style>", "</style>", "</ script x>",
+    "<script>x</scripty></script>", "<script/>", "x</p y>z",
+])
+
+
+@given(st.lists(fast_soup_atom, max_size=14))
+@settings(max_examples=500, deadline=None)
+def test_fast_parser_differential_vs_stdlib(parts):
+    """Whenever the fast tokenizer claims an input, its extract output
+    must equal the stdlib-parser path byte-for-byte; risky inputs must
+    fall back (never a wrong answer, only a slower one)."""
+    from unravel_ray.html_extract import (
+        _dropped,
+        _fast_fragment,
+        parse_fragment,
+    )
+
+    html = "".join(parts)
+    fast = _fast_fragment(html)
+    if fast is None:
+        return  # fallback path; stdlib is the only implementation
+    # compare full extract output through both trees
+    import unravel_ray.html_extract as H
+
+    def via(tree):
+        out = []
+
+        def process(el):
+            tag = el.tag
+            if tag in H.HEADING_TAGS:
+                t = H._para_stripped(el)
+                if t:
+                    out.append(("heading", t))
+            elif tag == "p":
+                t = H._para_stripped(el)
+                if t:
+                    out.append(("text", t))
+            elif tag in ("ul", "ol"):
+                for li in el.children:
+                    if not isinstance(li, str) and li.tag == "li":
+                        t = H._para_stripped(li)
+                        if t:
+                            out.append(("list_item", t))
+            else:
+                surv = [c for c in el.children
+                        if not isinstance(c, str) and not _dropped(c)]
+                if surv:
+                    for c in surv:
+                        process(c)
+                else:
+                    t = H._para_stripped(el)
+                    if t:
+                        out.append(("text", t))
+
+        for child in tree.children:
+            if not isinstance(child, str) and not _dropped(child):
+                process(child)
+        return out
+
+    assert via(fast) == via(parse_fragment(html))
+
+
+def test_fast_parser_claims_synth_corpus():
+    """The fast path must actually engage on the synthetic corpora (else
+    the optimization is dead code)."""
+    from unravel_ray.html_extract import _fast_fragment
+    from unravel_ray.synth import _doc
+
+    claimed = total = 0
+    for i in range(300):
+        for s in _doc(42, i)["spans"]:
+            if s["kind"] == "html":
+                total += 1
+                if _fast_fragment(s["text"]) is not None:
+                    claimed += 1
+    assert total > 50
+    assert claimed / total > 0.95

@@ -106,6 +106,83 @@ def parse_fragment(html: str) -> Element:
     return p.root
 
 
+# Fast-path tokenizer: a single regex pass building the same tree as
+# _FragmentParser for the common well-formed subset. Inputs containing
+# constructs with parser-specific semantics (entities, comments/doctype,
+# processing instructions, stray '<') return None and fall back to the
+# stdlib parser — equality on the claimed subset is pinned by a
+# differential hypothesis suite (tests/test_properties.py).
+_FAST_TOKEN = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"  # tag
+    r"|([^<]+)"                                                        # text
+    r"|(<)"                                                            # stray '<'
+)
+
+
+_CDATA_TAGS = frozenset({"script", "style"})  # html.parser CDATA_CONTENT_ELEMENTS
+_CDATA_END = re.compile(r"</\s*([a-zA-Z][a-zA-Z0-9]*)\s*>")
+
+
+def _fast_fragment(html: str) -> Element | None:
+    if "&" in html or "<!" in html or "<?" in html:
+        return None  # entities / comments / doctype / PI -> stdlib
+    root = Element("#root")
+    stack = [root]
+    pos = 0
+    n = len(html)
+    while pos < n:
+        m = _FAST_TOKEN.match(html, pos)
+        if m is None:
+            return None  # unexplained residue -> stdlib
+        pos = m.end()
+        text = m.group(4)
+        if text is not None:
+            stack[-1].children.append(text)
+            continue
+        if m.group(5) is not None:
+            return None  # stray '<' has parser-specific lookahead rules
+        closing, tag, attrs = m.group(1), m.group(2).lower(), m.group(3)
+        if closing:
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+            continue
+        a = attrs.rstrip()
+        if a.endswith("/"):
+            # self-closing ONLY when the slash stands alone (<x/>, <x a="1"/>,
+            # <x a=1 />); an unquoted attr value ending in '/' has
+            # parser-specific handling -> stdlib
+            if len(a) > 1 and a[-2] not in " \t\n\r\"'":
+                return None
+            stack[-1].children.append(Element(tag))
+            continue  # == startendtag (leaf, not pushed)
+        el = Element(tag)
+        stack[-1].children.append(el)
+        if tag in _CDATA_TAGS:
+            # raw-text (CDATA) element: content runs to the matching close
+            # tag, nested '<' is TEXT (html.parser set_cdata_mode)
+            mend = _CDATA_END.search(html, pos)
+            while mend is not None and mend.group(1).lower() != tag:
+                mend = _CDATA_END.search(html, mend.start() + 1)
+            if mend is None:
+                # any '</name' residue that didn't parse as a clean end tag
+                # has parser-specific handling -> stdlib
+                if re.search(rf"</\s*{tag}", html[pos:], re.IGNORECASE):
+                    return None
+                if pos < n:
+                    el.children.append(html[pos:])
+                pos = n
+            else:
+                if mend.start() > pos:
+                    el.children.append(html[pos:mend.start()])
+                pos = mend.end()
+            continue
+        if tag not in VOID_TAGS:
+            stack.append(el)
+    return root
+
+
 # ---------------------------------------------------------------------------
 # boilerplate strip (M8 + north-rule DOM-density scoring)
 # ---------------------------------------------------------------------------
@@ -294,7 +371,10 @@ def extract_html_spans(html: str) -> list[tuple[str, str]]:
                 if t:
                     out.append(("text", t))
 
-    for child in parse_fragment(html).children:
+    tree = _fast_fragment(html or "")
+    if tree is None:
+        tree = parse_fragment(html)
+    for child in tree.children:
         if not isinstance(child, str) and not _dropped(child):
             process(child)
     return out
