@@ -151,3 +151,63 @@ def test_fragment_aligned_checkpoint(ray_session, tmp_path):
     res3 = run_with_checkpoint_files(files, out, files_per_partition=1, cfg=CFG)
     assert res3["executed"] == [2]
     assert load_extracted(out).count() == 120
+
+
+def test_checkpoint_repairs_split_docs_streaming(ray_session, tmp_path, monkeypatch):
+    """Force fragment markers inside the checkpointed partition write: the
+    footer audit must place an exact recompute in data-repair.parquet and
+    load_extracted must return the complete doc set, marker-free."""
+    import pyarrow as pa
+
+    import unravel_ray.pipeline as P
+    from unravel_ray.checkpoint import load_extracted, run_with_checkpoint
+    from unravel_ray.schema import SPLIT_MARKER_STATUS
+    from unravel_ray.synth import make_corpus
+
+    corpus = make_corpus(24)
+    victim = corpus["doc_id"][5].as_py()
+    real_core = P._build_extraction_core
+
+    def broken_core(docs, cfg):
+        ds = real_core(docs, cfg)
+
+        def sabotage(t: pa.Table) -> pa.Table:
+            from unravel_ray.schema import EXTRACTED_SCHEMA as ES
+            from unravel_ray.schema import SPLIT_MARKER_STATUS as SMS
+
+            rows = []
+            for r in t.to_pylist():
+                if r["doc_id"] == "doc-00000005":
+                    m = dict(r, spans=[], status=SMS, error_message=None,
+                             provider=None, n_spans=0, n_chars=0,
+                             confidence_micros=None, language_detected=None)
+                    rows.extend([m, dict(m)])
+                else:
+                    rows.append(r)
+            return pa.Table.from_pylist(rows, schema=ES)
+
+        return ds.map_batches(sabotage, batch_format="pyarrow")
+
+    monkeypatch.setattr(P, "_build_extraction_core", broken_core)
+    out = str(tmp_path / "ckpt_split")
+
+    def make_docs():
+        import ray.data
+
+        return ray.data.from_arrow(corpus)
+
+    run_with_checkpoint(make_docs, out, n_partitions=3, cfg=CFG)
+    import os
+
+    repair_files = [
+        os.path.join(out, d, "data-repair.parquet")
+        for d in os.listdir(out) if d.startswith("part-")
+        if os.path.exists(os.path.join(out, d, "data-repair.parquet"))
+    ]
+    assert len(repair_files) == 1  # the victim's partition got a repair file
+    rows = load_extracted(out).take_all()
+    assert len(rows) == 24
+    assert all(r["status"] != SPLIT_MARKER_STATUS for r in rows)
+    fixed = next(r for r in rows if r["doc_id"] == victim)
+    assert fixed["status"] in ("completed", "failed")
+    assert victim == "doc-00000005"

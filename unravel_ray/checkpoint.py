@@ -33,7 +33,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .config import PipelineConfig
-from .pipeline import build_extraction
 
 
 class PartitionInterrupted(RuntimeError):
@@ -112,6 +111,58 @@ def _commit_manifest(out_dir: str, row: dict) -> None:
     os.rename(tmp, os.path.join(mdir, f"part-{row['partition_id']}.json"))
 
 
+
+def _write_partition_streaming(docs, cfg: PipelineConfig, tmp: str):
+    """Stream the CORE extraction of one partition to ``tmp`` with NO
+    materialization anywhere: core output (possibly containing
+    SPLIT_MARKER_STATUS fragment rows) goes to data.parquet; the
+    parquet-FOOTER audit finds marked docs; an exact recompute of just
+    those docs goes to data-repair.parquet. Returns
+    (final_ids, status_counts, n_rows) over the FINAL (marker-free) rows.
+    """
+    import pyarrow.parquet as pq
+
+    from .pipeline import _audit_split_ids, _build_extraction_core, _recompute_docs
+    from .schema import EXTRACTED_SCHEMA, SPLIT_MARKER_STATUS
+
+    os.makedirs(tmp, exist_ok=True)
+    ids: list[str] = []
+    counts = {"completed": 0, "failed": 0, "failed_validation": 0}
+    n_rows = 0
+
+    def stream(ds, path) -> bool:
+        nonlocal n_rows
+        writer = None
+        try:
+            for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+                if writer is None:
+                    writer = pq.ParquetWriter(path, batch.schema)
+                writer.write_table(batch)
+                keep = batch.filter(
+                    pc.not_equal(batch["status"], SPLIT_MARKER_STATUS))
+                n_rows += keep.num_rows
+                ids.extend(keep["doc_id"].to_pylist())
+                vc = pc.value_counts(keep["status"])
+                for status, n in zip(vc.field("values").to_pylist(),
+                                     vc.field("counts").to_pylist()):
+                    counts[status] = counts.get(status, 0) + n
+        finally:
+            if writer is not None:
+                writer.close()
+        return writer is not None
+
+    if not stream(_build_extraction_core(docs, cfg),
+                  os.path.join(tmp, "data.parquet")):
+        # still record the empty partition so resume skips it
+        pq.write_table(EXTRACTED_SCHEMA.empty_table(),
+                       os.path.join(tmp, "data.parquet"))
+    split_ids, _, _ = _audit_split_ids(tmp)
+    if split_ids:
+        stream(_recompute_docs(docs, split_ids, cfg),
+               os.path.join(tmp, "data-repair.parquet"))
+    return ids, counts, n_rows
+
+
 def run_with_checkpoint(
     make_docs,
     out_dir: str,
@@ -173,45 +224,12 @@ def run_with_checkpoint(
             partition_filter, fn_kwargs={"pid": pid, "n_partitions": n_partitions},
             batch_format="pyarrow",
         )
-        extracted = build_extraction(ds, cfg)
 
         final = os.path.join(out_dir, f"part-{pid}")
         tmp = os.path.join(out_dir, f".tmp-part-{pid}")
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(final, ignore_errors=True)
-
-        ids: list[str] = []
-        counts = {"completed": 0, "failed": 0, "failed_validation": 0}
-        os.makedirs(tmp, exist_ok=True)
-        writer = None
-        n_rows = 0
-        try:
-            for batch in extracted.iter_batches(batch_size=4096, batch_format="pyarrow"):
-                if writer is None:
-                    import pyarrow.parquet as pq
-
-                    writer = pq.ParquetWriter(
-                        os.path.join(tmp, "data.parquet"), batch.schema
-                    )
-                writer.write_table(batch)
-                n_rows += batch.num_rows
-                ids.extend(batch["doc_id"].to_pylist())
-                vc = pc.value_counts(batch["status"])
-                for status, n in zip(vc.field("values").to_pylist(),
-                                     vc.field("counts").to_pylist()):
-                    counts[status] = counts.get(status, 0) + n
-        finally:
-            if writer is not None:
-                writer.close()
-        if n_rows == 0:
-            # still record the empty partition so resume skips it
-            import pyarrow.parquet as pq
-
-            from .schema import EXTRACTED_SCHEMA
-
-            pq.write_table(EXTRACTED_SCHEMA.empty_table(),
-                           os.path.join(tmp, "data.parquet"))
-
+        ids, counts, n_rows = _write_partition_streaming(ds, cfg, tmp)
         os.rename(tmp, final)
         out_fp, n = _fingerprint(ids)
         _commit_manifest(out_dir, {
@@ -233,15 +251,26 @@ def run_with_checkpoint(
 
 
 def load_extracted(out_dir: str):
-    """Read the committed output (only part-* dirs; temp dirs ignored)."""
+    """Read the committed output (only part-* dirs; temp dirs ignored).
+    data.parquet may contain SPLIT_MARKER_STATUS fragment rows whose doc
+    lives in the partition's data-repair.parquet — markers are filtered
+    on read (a vectorized no-op in the common zero-split case)."""
     import ray.data
 
+    from .schema import SPLIT_MARKER_STATUS
+
     parts = sorted(
-        os.path.join(out_dir, d, "data.parquet")
+        os.path.join(out_dir, d, f)
         for d in os.listdir(out_dir)
         if d.startswith("part-") and os.path.isdir(os.path.join(out_dir, d))
+        for f in os.listdir(os.path.join(out_dir, d))
+        if f.endswith(".parquet")
     )
-    return ray.data.read_parquet(parts)
+    ds = ray.data.read_parquet(parts)
+    return ds.map_batches(
+        lambda t: t.filter(pc.not_equal(t["status"], SPLIT_MARKER_STATUS)),
+        batch_format="pyarrow",
+    )
 
 
 def run_with_checkpoint_files(
@@ -280,37 +309,12 @@ def run_with_checkpoint_files(
             skipped.append(pid)
             continue
         t0 = time.time()
-        extracted = build_extraction(ray.data.read_parquet(group), cfg)
-
         final = os.path.join(out_dir, f"part-{pid}")
         tmp = os.path.join(out_dir, f".tmp-part-{pid}")
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(final, ignore_errors=True)
-        os.makedirs(tmp, exist_ok=True)
-        counts: dict[str, int] = {}
-        n_rows = 0
-        writer = None
-        try:
-            for batch in extracted.iter_batches(batch_size=4096, batch_format="pyarrow"):
-                if writer is None:
-                    import pyarrow.parquet as pq
-
-                    writer = pq.ParquetWriter(os.path.join(tmp, "data.parquet"), batch.schema)
-                writer.write_table(batch)
-                n_rows += batch.num_rows
-                vc = pc.value_counts(batch["status"])
-                for status, n in zip(vc.field("values").to_pylist(),
-                                     vc.field("counts").to_pylist()):
-                    counts[status] = counts.get(status, 0) + n
-        finally:
-            if writer is not None:
-                writer.close()
-        if n_rows == 0:
-            import pyarrow.parquet as pq
-
-            from .schema import EXTRACTED_SCHEMA
-
-            pq.write_table(EXTRACTED_SCHEMA.empty_table(), os.path.join(tmp, "data.parquet"))
+        _, counts, n_rows = _write_partition_streaming(
+            ray.data.read_parquet(group), cfg, tmp)
         os.rename(tmp, final)
         _commit_manifest(out_dir, {
             "partition_id": pid,

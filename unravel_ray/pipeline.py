@@ -211,11 +211,13 @@ def _repair_split_docs(docs: Dataset, extracted: Dataset, cfg: PipelineConfig) -
     """Correctness net for local reassembly, in-memory variant: incomplete
     docs already self-identify as SPLIT_MARKER_STATUS rows (block-local
     n_units check inside finalize_block — no groupby, nothing shuffles).
-    Here we pin the output once (it is the final result being handed back;
-    callers are tests and per-checkpoint partitions, both bounded), scan
+    Here we pin the output once (it is the final in-memory result being
+    handed back; callers are tests and small composable pipelines), scan
     for markers, and splice in an exact recompute of just those docs.
-    The unbounded default path (run_flagship/entry) uses extract_publish
-    instead, which audits against WRITTEN output and never materializes.
+    Both unbounded paths avoid this entirely: run_flagship/entry use
+    extract_publish and the checkpoint variants use
+    checkpoint._write_partition_streaming — each audits WRITTEN output
+    via parquet footers and never materializes anything.
     """
     extracted = extracted.materialize()
     marker_rows = extracted.map_batches(_marker_ids, batch_format="pyarrow").take_all()
