@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extraction_confidence": _extraction_confidence,
         "flagship_statuses": _flagship_statuses,
         "distinct_counts": R.distinct_counts,
+        "doc_size_percentiles": R.doc_size_percentiles,
         "top_docs_per_lang": R.top_docs_per_lang,
         "event_type_counts": R.event_type_counts,
         # dedup family
@@ -727,6 +728,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST((CAST(SUM(conf_bp) AS BIGINT) * 100) // COUNT(*) AS BIGINT)
                      AS mean_confidence_micros
             FROM d GROUP BY provider
+        """,
+        "doc_size_percentiles": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_chars,
+                   CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90_chars
+            FROM documents GROUP BY lang
         """,
         "distinct_counts": """
             SELECT (SELECT COUNT(DISTINCT lang) FROM documents) AS n_langs,

@@ -1191,3 +1191,34 @@ def orders_price_bands(sf_dir: str) -> Dataset:
         .aggregate(Sum("n", alias_name="n_orders"),
                    Sum("price_cents", alias_name="price_cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# G8 — exact grouped percentiles (SQL-checkable variant)
+# ---------------------------------------------------------------------------
+
+def doc_size_percentiles(sf_dir: str) -> Dataset:
+    """Exact discrete percentiles of n_chars per language: p50/p90 as the
+    element at index ceil(q*n)-1 of the sorted values — DuckDB's
+    quantile_disc convention, computed with INTEGER index arithmetic (no
+    float ceil hazards).
+
+    Shape: only the slim (lang, n_chars) columns ride the shuffle; exact
+    percentiles inherently need the group's values co-located (the
+    mergeable APPROXIMATE sketch for corpus-scale lives in
+    metrics.StageMetrics histograms)."""
+    ds = _pq(sf_dir, "documents", ["lang", "n_chars"])
+    # q as integer fractions: ceil(num*n/den) - 1
+    qs = [("p50_chars", 1, 2), ("p90_chars", 9, 10)]
+
+    def pick(group: pa.Table) -> pa.Table:
+        vals = np.sort(group["n_chars"].to_numpy(zero_copy_only=False))
+        n = vals.shape[0]
+        out = {"lang": [group["lang"][0].as_py()],
+               "n_docs": pa.array([n], pa.int64())}
+        for name, num, den in qs:
+            k = (num * n + den - 1) // den - 1
+            out[name] = pa.array([int(vals[max(k, 0)])], pa.int64())
+        return pa.table(out)
+
+    return ds.groupby("lang").map_groups(pick, batch_format="pyarrow")
