@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_by_region": R.customers_by_region,
         "orders_by_segment": R.orders_by_segment,
         "orders_customer_join": R.orders_customer_join,
+        "customers_without_orders": R.customers_without_orders,
         "purchases_with_last_click": R.purchases_with_last_click,
         "sample_documents": R.sample_documents,
         "orders_price_bands": R.orders_price_bands,
@@ -594,6 +595,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
             FROM orders LEFT JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderstatus = 'P')
         """,
         "orders_customer_join": """
             SELECT o_orderkey, o_custkey AS custkey,

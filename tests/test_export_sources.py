@@ -196,3 +196,20 @@ def test_range_join_semantics(ray_session):
                     "label": ["a", "b"]})  # overlapping
     with _pt.raises(ValueError, match="disjoint"):
         range_join(ds, bad, value_col="v")
+
+
+def test_hash_join_semi_anti(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+    from unravel_ray.relational import hash_join
+
+    left = ray.data.from_arrow(pa.table({"k": [1, 2, 3, 4], "v": list("abcd")}))
+    right = ray.data.from_arrow(pa.table({"k": [2, 2, 4], "w": [9, 9, 9]}))
+    semi = sorted(r["k"] for r in hash_join(left, right, on="k", how="semi").take_all())
+    anti = sorted(r["k"] for r in hash_join(left, right, on="k", how="anti").take_all())
+    assert semi == [2, 4]  # existence only — no duplication from dup right keys
+    assert anti == [1, 3]
+    # semi/anti outputs carry ONLY left columns
+    cols = set(hash_join(left, right, on="k", how="semi").take_all()[0])
+    assert cols == {"k", "v"}

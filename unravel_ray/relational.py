@@ -835,9 +835,10 @@ def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
     any hash join); salt hot keys upstream if one key's rows exceed a
     block.
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
-    arrow_how = {"inner": "inner", "left": "left outer"}[how]
+    arrow_how = {"inner": "inner", "left": "left outer",
+                 "semi": "left semi", "anti": "left anti"}[how]
     lschema = left.schema()   # ray.data.Schema: .names + .types (arrow)
     rschema = right.schema()
     lcols = list(lschema.names)
@@ -845,6 +846,8 @@ def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
     rout = [c + right_suffix if c in lcols else c for c in rcols]
     rtypes = dict(zip(rschema.names, rschema.types))
     ltypes = dict(zip(lschema.names, lschema.types))
+    if how in ("semi", "anti"):
+        rcols, rout = [], []  # existence filters keep only left columns
     union_schema = pa.schema(
         [pa.field("__side", pa.int8()), pa.field("__bucket", pa.int32())]
         + [pa.field(c, ltypes[c]) for c in lcols]
@@ -1222,3 +1225,18 @@ def doc_size_percentiles(sf_dir: str) -> Dataset:
         return pa.table(out)
 
     return ds.groupby("lang").map_groups(pick, batch_format="pyarrow")
+
+
+def customers_without_orders(sf_dir: str, status: str = "P") -> Dataset:
+    """Customers with no order in the given status — the ANTI-join shape
+    (tombstone/GC scans, orphan detection) via the bucketed hash_join
+    with Arrow's left-anti kernel per bucket. (The testdata's FKs are
+    fully covered, so the unfiltered variant would be empty; the status
+    filter makes the result non-trivial at every scale.)"""
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderstatus"]) \
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderstatus"], status))
+            .select(["o_custkey"]).rename_columns(["c_custkey"]),
+            batch_format="pyarrow")
+    return hash_join(cust, orders, on="c_custkey", how="anti")
