@@ -248,6 +248,28 @@ def _export_markdown(sf_dir: str):
     return export_documents(run_flagship(sf_dir), fmt="markdown")
 
 
+def _export_docx(sf_dir: str):
+    """Real OOXML binary export (S9): (doc_id, file_name, docx, status);
+    blob sizes projected for a stable smoke schema."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from unravel_ray.export import export_docx
+    from unravel_ray.pipeline import run_flagship
+
+    ds = export_docx(run_flagship(sf_dir))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "file_name": t["file_name"],
+            "docx_bytes_len": pc.cast(pc.binary_length(t["docx"]), pa.int64()),
+            "status": t["status"],
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def _flagship_statuses(sf_dir: str):
     """Slim per-doc status/provider projection of the REAL flagship
     extraction — SQL-checkable row-for-row because the bridge archetypes
@@ -397,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ai_enrich": _ai_enrich,
         "search_projection": _search_projection,
         "export_markdown": _export_markdown,
+        "export_docx": _export_docx,
     }
 
 
