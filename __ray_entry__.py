@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_hourly_windows": R.event_hourly_windows,
         "event_hopping_windows": R.event_hopping_windows,
         "event_sessions": R.event_sessions,
+        "user_running_totals": R.user_running_totals,
         "word_counts_by_lang": R.word_counts_by_lang,
         "validation_accounting": R.validation_accounting,
         "collection_rollup": R.collection_rollup,
@@ -779,6 +780,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY event_type
+        """,
+        "user_running_totals": """
+            SELECT event_id, user_id,
+                   CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS running_cents
+            FROM events
         """,
         "event_sessions": """
             WITH flagged AS (

@@ -1240,3 +1240,28 @@ def customers_without_orders(sf_dir: str, status: str = "P") -> Dataset:
             .select(["o_custkey"]).rename_columns(["c_custkey"]),
             batch_format="pyarrow")
     return hash_join(cust, orders, on="c_custkey", how="anti")
+
+
+# ---------------------------------------------------------------------------
+# running (cumulative) window function — SUM() OVER (PARTITION ... ORDER ...)
+# ---------------------------------------------------------------------------
+
+def user_running_totals(sf_dir: str) -> Dataset:
+    """Per-user running value total in (ts, event_id) order — the
+    window-function shape (SUM() OVER (PARTITION BY user ORDER BY ts)).
+    Co-group by user, vectorized sort + integer cumsum inside the group;
+    only the slim (user, ts, event_id, cents) columns shuffle."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def running(group: pa.Table) -> pa.Table:
+        g = _cents(group, "value", "vc").sort_by(
+            [("ts", "ascending"), ("event_id", "ascending")])
+        csum = np.cumsum(g["vc"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "ts_us": pc.cast(g["ts"], pa.int64()),
+            "running_cents": pa.array(csum, pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pyarrow")
