@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_size_percentiles": R.doc_size_percentiles,
         "top_docs_per_lang": R.top_docs_per_lang,
         "event_type_counts": R.event_type_counts,
+        "event_props_stats": R.event_props_stats,
         # dedup family
         "dedup_exact": _dedup_exact,
         "minhash_pairs": _minhash_pairs,
@@ -775,6 +776,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             QUALIFY row_number() OVER (
               PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3
+        """,
+        "event_props_stats": """
+            WITH d AS (
+              SELECT event_type,
+                     TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+            SELECT event_type, COUNT(*) AS n_events,
+                   CAST(SUM(k) AS BIGINT) AS k_total,
+                   CAST(MAX(k) AS BIGINT) AS k_max
+            FROM d WHERE k IS NOT NULL GROUP BY event_type
         """,
         "event_type_counts": """
             SELECT event_type, COUNT(*) AS n_events,

@@ -1265,3 +1265,41 @@ def user_running_totals(sf_dir: str) -> Dataset:
         })
 
     return ds.groupby("user_id").map_groups(running, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# §2.8 — JSON scalar extraction over a properties column
+# ---------------------------------------------------------------------------
+
+def event_props_stats(sf_dir: str) -> Dataset:
+    """Extract the integer 'k' field from the events props JSON column and
+    aggregate per event type — the metadata-map scalar-function shape
+    (OcrRequest.metadata analog; SURVEY §2.8 json functions). Parsing is
+    per-row (JSON has no Arrow kernel) but the aggregate is combiner-first
+    so only (type, partial) rows shuffle."""
+    import json as _json
+
+    ds = _pq(sf_dir, "events", ["event_type", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks = []
+        for p in batch["props"].to_pylist():
+            try:
+                v = _json.loads(p).get("k") if p else None
+            except (ValueError, TypeError):
+                v = None
+            ks.append(v if isinstance(v, int) else None)
+        t = pa.table({"event_type": batch["event_type"],
+                      "k": pa.array(ks, pa.int64())})
+        t = t.filter(pc.is_valid(t["k"]))
+        g = pa.TableGroupBy(t, "event_type").aggregate(
+            [("k", "sum"), ("k", "max"), ([], "count_all")])
+        return g.rename_columns(["event_type", "k_sum", "k_max", "n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n_events"),
+                   Sum("k_sum", alias_name="k_total"),
+                   Max("k_max", alias_name="k_max"))
+    )
