@@ -117,3 +117,27 @@ def test_nested_list_items():
 def test_deeply_nested_containers():
     html = "<div><section><article><p>deep</p></article></section></div>"
     assert extract_html_spans(html) == [("text", "deep")]
+
+
+def test_unterminated_script_content_discarded():
+    """html.parser drops unterminated CDATA content at EOF; the fast
+    tokenizer must agree (regression: it used to keep '</a>' as text,
+    inflating ancestor link-farm totals)."""
+    from unravel_ray.html_extract import _fast_fragment, parse_fragment
+
+    html = "<div><script></a></div>x<p>tail</p>"
+    # the stray </div> inside script stays CDATA text per stdlib...
+    for frag in ("<script></a>", "<script>abc", "<div><script>x</div>"):
+        fast = _fast_fragment(frag)
+        if fast is None:
+            continue  # fallback is always safe
+
+        def flat(node):
+            if isinstance(node, str):
+                return [node]
+            out = [f"<{node.tag}>"]
+            for c in node.children:
+                out.extend(flat(c))
+            return out
+
+        assert flat(fast) == flat(parse_fragment(frag)), frag

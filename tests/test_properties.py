@@ -226,7 +226,25 @@ def test_fast_parser_differential_vs_stdlib(parts):
     fast = _fast_fragment(html)
     if fast is None:
         return  # fallback path; stdlib is the only implementation
-    # compare full extract output through both trees
+
+    # structural tree equality (tags in order; adjacent text runs merged —
+    # chunk boundaries are not semantic)
+    def flat(node, acc):
+        if isinstance(node, str):
+            if acc and isinstance(acc[-1], tuple) and acc[-1][0] == "txt":
+                acc[-1] = ("txt", acc[-1][1] + node)
+            else:
+                acc.append(("txt", node))
+            return acc
+        acc.append(("open", node.tag))
+        for c in node.children:
+            flat(c, acc)
+        acc.append(("close", node.tag))
+        return acc
+
+    assert flat(fast, []) == flat(parse_fragment(html), [])
+
+    # and full extract output through both trees
     import unravel_ray.html_extract as H
 
     def via(tree):

@@ -170,8 +170,8 @@ def _fast_fragment(html: str) -> Element | None:
                 # has parser-specific handling -> stdlib
                 if re.search(rf"</\s*{tag}", html[pos:], re.IGNORECASE):
                     return None
-                if pos < n:
-                    el.children.append(html[pos:])
+                # unterminated CDATA content is DISCARDED at EOF
+                # (html.parser goahead: `if self.cdata_elem: break`)
                 pos = n
             else:
                 if mend.start() > pos:
