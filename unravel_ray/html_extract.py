@@ -113,9 +113,12 @@ def parse_fragment(html: str) -> Element:
 # stdlib parser — equality on the claimed subset is pinned by a
 # differential hypothesis suite (tests/test_properties.py).
 _FAST_TOKEN = re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*)>"  # tag
-    r"|([^<]+)"                                                        # text
-    r"|(<)"                                                            # stray '<'
+    # tag: unquoted attr chars exclude '<' — a '<' inside an open tag has
+    # parser-specific lookahead handling, so such inputs miss this
+    # alternative, hit the stray-'<' branch, and fall back to stdlib
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^<>\"'])*)>"
+    r"|([^<]+)"   # text
+    r"|(<)"       # stray '<'
 )
 
 
