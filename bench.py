@@ -3,11 +3,11 @@
 Plain run: one fresh Ray session at $RAY_GRAFT_CPUS (default 32), times
 each headline pipeline, prints ONE JSON line.
 
---scaling: runs this script in two fresh subprocesses (num_cpus=8 then
-32) on the same input and reports both throughputs + scaling efficiency
-E = (T8/T32)/4 (1.0 = linear). Single-host CPUs are oversubscribed, so E
-is measured on the real pipelines (compute-dominated, IO-light); see
-BASELINE.md §C.
+--scaling: runs this script in two fresh subprocesses (default
+num_cpus=4 then 16 over the 480k-doc corpus; GRAFT_SCALE_LO/HI override)
+on the same input and reports both throughputs + scaling efficiency
+E = (T_lo/T_hi)/4 (1.0 = linear). See BASELINE.md §C for the protocol
+(min-of-2, warmed pool, T_lo >= 60 s corpus sizing).
 """
 
 from __future__ import annotations
