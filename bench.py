@@ -156,7 +156,7 @@ def run_scaling() -> dict:
 
     # Defaults = the headline protocol recorded in BASELINE.md §D: 4 -> 16
     # CPUs (the honest N -> 4N *node* proxy on this DRAM-shared host; see
-    # §C/§D discussion — 8 -> 32 is also measured there) over the 240k-doc
+    # §C/§D discussion — 8 -> 32 is also measured there) over the 480k-doc
     # corpus (T_lo >= 60 s amortizes startup).
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
