@@ -396,6 +396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": R.top_docs_per_lang,
         "event_type_counts": R.event_type_counts,
         "event_props_stats": R.event_props_stats,
+        "pii_scrub_stats": R.pii_scrub_stats,
         # dedup family
         "dedup_exact": _dedup_exact,
         "minhash_pairs": _minhash_pairs,
@@ -776,6 +777,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             QUALIFY row_number() OVER (
               PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3
+        """,
+        "pii_scrub_stats": """
+            WITH planted AS (
+              SELECT doc_id,
+                     COALESCE(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1 555-010-'
+                       || lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' now' AS text
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                     '\+?\d{3}[-. ]\d{3}[-. ]\d{4}', '[PHONE]', 'g') AS scrubbed,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                     AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                     '\+?\d{3}[-. ]\d{3}[-. ]\d{4}')) AS BIGINT) AS n_phones
+            FROM planted
         """,
         "event_props_stats": """
             WITH d AS (

@@ -1303,3 +1303,36 @@ def event_props_stats(sf_dir: str) -> Dataset:
                    Sum("k_sum", alias_name="k_total"),
                    Max("k_max", alias_name="k_max"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub over the corpus (training-data hygiene, SQL-checkable)
+# ---------------------------------------------------------------------------
+
+def pii_scrub_stats(sf_dir: str) -> Dataset:
+    """Plant deterministic contact strings per doc, scrub them with the
+    RE2 PII operator, return per-doc counts + scrubbed text. The planted
+    suffix is SQL-reconstructible, so DuckDB re-derives the exact
+    scrubbed output (regexp_replace, same RE2 engine)."""
+    from .textstats import scrub_pii
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        did = pc.cast(batch["doc_id"], pa.string())
+        suffix = pc.binary_join_element_wise(
+            pa.array([" contact user"] * batch.num_rows), did,
+            pa.array(["@example.com or +1 555-010-"] * batch.num_rows),
+            pc.utf8_lpad(did, 4, "0"), pa.array([" now"] * batch.num_rows),
+            "")
+        text = pc.binary_join_element_wise(
+            pc.fill_null(batch["text"], ""), suffix, "")
+        return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+    scrubbed = scrub_pii(ds.map_batches(plant, batch_format="pyarrow"))
+    # full scrubbed text is the comparison payload
+    return scrubbed.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "scrubbed": t["text"],
+                            "n_emails": t["n_emails"],
+                            "n_phones": t["n_phones"]}),
+        batch_format="pyarrow")

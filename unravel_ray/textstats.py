@@ -209,3 +209,33 @@ def lang_distribution(ds: Dataset, text_col: str = "text", concurrency=2) -> Dat
         .groupby("lang_detected")
         .aggregate(Count(alias_name="n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — training-corpus hygiene operator
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"
+
+
+def scrub_pii(ds: Dataset, text_col: str = "text") -> Dataset:
+    """Redact emails/phone-shaped substrings from a text column with RE2
+    kernels (identical semantics in DuckDB's regexp_replace, so scrubbed
+    output is oracle-checkable). Appends n_emails / n_phones counts and
+    replaces matches with [EMAIL] / [PHONE] in place."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch[text_col], "")
+        n_email = pc.cast(pc.count_substring_regex(text, EMAIL_RE), pa.int64())
+        n_phone = pc.cast(pc.count_substring_regex(text, PHONE_RE), pa.int64())
+        out = pc.replace_substring_regex(text, pattern=EMAIL_RE,
+                                         replacement="[EMAIL]")
+        out = pc.replace_substring_regex(out, pattern=PHONE_RE,
+                                         replacement="[PHONE]")
+        idx = batch.column_names.index(text_col)
+        return (batch.set_column(idx, text_col, out)
+                .append_column("n_emails", n_email)
+                .append_column("n_phones", n_phone))
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
