@@ -540,8 +540,17 @@ def oracle_sql() -> dict[str, str]:
             image AS (
               SELECT docid, unnest(generate_series(0, did % 3)) AS j
               FROM base WHERE h >= '{th["scanned"]}' AND h < '{th["image"]}'),
+            -- empty-text doc in the text-pdf bucket: chunks == [''] emits one
+            -- blank pdf page, needs_ocr_mode fires, page-1.pdf is OCR'd
+            -- (same wc=0 -> 'fake' branch flagship_statuses models)
+            textpdf_empty AS (
+              SELECT docid, 1 AS p
+              FROM base WHERE h >= '{th["html"]}' AND h < '{th["text_pdf"]}'
+                          AND wc = 0),
             refs AS (
               SELECT docid, 's3://corpus/' || docid || '/page-' || p || '.pdf' AS ref FROM scanned
+              UNION ALL
+              SELECT docid, 's3://corpus/' || docid || '/page-' || p || '.pdf' AS ref FROM textpdf_empty
               UNION ALL
               SELECT docid, 's3://corpus/' || docid || '/img-' || j || '.png' AS ref FROM image),
             bp AS (

@@ -113,11 +113,56 @@ def test_simhash_pigeonhole_guard_and_wide_hamming(ray_session):
     assert (1, 4) in out
 
 
-def test_minhash_dedup_pair_guard(ray_session):
-    import pytest as _pt
+def test_minhash_dedup_degrades_to_distributed(ray_session):
+    """Above max_pairs the clustering must auto-switch to the distributed
+    label-propagation + hash_join path and produce the SAME clusters as
+    the driver union-find (no raise, no driver pair materialization)."""
+    via_driver = {r["doc_id"]: r["cluster_id"]
+                  for r in minhash_dedup(_docs(), threshold=0.1).take_all()}
+    via_dist = {r["doc_id"]: r["cluster_id"]
+                for r in minhash_dedup(_docs(), threshold=0.1,
+                                       max_pairs=0).take_all()}
+    assert via_dist == via_driver
+    assert via_driver[4] == 1  # exact dup clusters to min member id
 
-    with _pt.raises(ValueError, match="max_pairs"):
-        minhash_dedup(_docs(), threshold=0.1, max_pairs=0)
+
+def test_minhash_stage_vectorized_matches_per_doc_reference():
+    """The batched signature kernel (flat concat + reduceat + in-place
+    scratch) must be byte-identical to the naive per-doc form — bucket
+    assignment and candidate output depend on it."""
+    import hashlib
+
+    from unravel_ray.dedup import MERSENNE, MinHashStage, _shingle_hashes
+
+    stage = MinHashStage()
+    texts = [BASE, "", NEAR, None, OTHER, "a b",
+             "w " + " ".join(f"t{i}" for i in range(3000))]
+    ids = list(range(len(texts)))
+    batch = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    out_band, out_hash, out_id, out_sig = [], [], [], []
+    for did, text in zip(ids, texts):
+        h = _shingle_hashes(text)
+        if h.size == 0:
+            sig = np.zeros(stage.num_perm, dtype=np.uint64)
+        else:
+            vals = (stage.a[:, None] * h[None, :] + stage.b[:, None]) % MERSENNE
+            sig = vals.min(axis=1).astype(np.uint64)
+        for band in range(stage.bands):
+            chunk = sig[band * stage.rows_per_band:(band + 1) * stage.rows_per_band]
+            out_band.append(band)
+            out_hash.append(hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest())
+            out_id.append(did)
+            out_sig.append(sig.tobytes())
+    ref = pa.table({"band": pa.array(out_band, pa.int32()),
+                    "band_hash": pa.array(out_hash, pa.string()),
+                    "id": pa.array(out_id, pa.int64()),
+                    "sig": pa.array(out_sig, pa.binary())})
+    assert stage(batch).equals(ref)
+    # tiny scratch cap exercises both the sliced and the whale-doc path
+    small = MinHashStage()
+    small._SLICE_ENTRIES = 64 * 500
+    assert small(batch).equals(ref)
 
 
 def test_distributed_components_match_union_find(ray_session):

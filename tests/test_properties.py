@@ -207,6 +207,10 @@ fast_soup_atom = st.sampled_from([
     "<!doctype html>", "< p", "<", ">", "word", " txt ", "\nline\n",
     "<script>", "</script>", "<style>", "</style>", "</ script x>",
     "<script>x</scripty></script>", "<script/>", "x</p y>z",
+    # hyphenated/custom tags: the fast tokenizer's name group stops at '-';
+    # these must fall back to stdlib, never mis-parse as the prefix tag
+    "<nav-bar>", "</nav-bar>", "<h1-x>", "</h1-x>", "<ul-x>", "</ul-x>",
+    "<script-y>", "</script-y>", "<p-q a=1>", "<p\x0bx>",
 ])
 
 

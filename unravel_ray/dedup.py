@@ -12,10 +12,10 @@ Scale design:
   (band, band_hash, doc_id, sig) rows, groupby((band, band_hash)) —
   candidate verification happens inside the group (signature-estimated
   Jaccard), so only bucketed rows shuffle, no pairwise all-to-all.
-* Connected components: driver union-find under an enforced max_pairs
-  guard (near-dup candidate sets are orders of magnitude smaller than the
-  corpus); `propagate_min_labels` is the grouped-min alternative whose
-  driver-memory bound is O(nodes in the edge set) — see its docstring.
+* Connected components: driver union-find while the candidate pair set is
+  small (max_pairs guard); past the guard minhash_dedup auto-degrades to
+  `propagate_min_labels_distributed` (zero driver state) with labels
+  applied through the bucketed hash_join.
 * Embedding near-dup: the small side is broadcast (ray.put once) and each
   batch does one numpy matmul against it; at true 100 TB scale swap in the
   LSH-bucketed variant in ann.py.
@@ -135,32 +135,90 @@ class MinHashStage:
         self.rows_per_band = num_perm // bands
         self.a, self.b = _perm_params(num_perm, seed)
         self.text_col, self.id_col = text_col, id_col
+        self._scratch = None  # lazily faulted per-actor kernel buffer
+
+    # cap on K x total_shingles scratch entries per vectorized slice
+    # (64 perms x 2M shingles x 8 B = ~1 GB if unchunked; 4M entries = 32 MB)
+    _SLICE_ENTRIES = 4_000_000
+
+    def _kernel(self, flat: np.ndarray) -> np.ndarray:
+        """(K, S) view of (a*h + b) % p over a flat shingle-hash array,
+        computed IN PLACE in a per-actor scratch buffer: this sandbox (and
+        any memory-overcommitted worker) pays ~60 ms/MB in first-touch page
+        faults on fresh large allocations, so the buffer is faulted once per
+        actor and recycled — three ops, zero temporaries."""
+        s = flat.size
+        if self._scratch is None:
+            cap = self._SLICE_ENTRIES // self.num_perm
+            self._scratch = np.empty((self.num_perm, cap), dtype=np.uint64)
+        buf = self._scratch[:, :s]
+        np.multiply(self.a[:, None], flat[None, :], out=buf)
+        buf += self.b[:, None]
+        buf %= np.uint64(MERSENNE)
+        return buf
+
+    def _signatures(self, texts: list) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signature matrix, vectorized ACROSS
+        docs: all shingle hashes of a doc slice concatenate into one flat
+        array, (a*h+b) % p runs as a single K x S kernel, and per-doc mins
+        fall out of one ``np.minimum.reduceat`` over the doc boundaries —
+        elementwise-identical to the per-doc form (same ops, same dtypes),
+        pinned by tests/test_dedup.py's old-vs-new equality test."""
+        n = len(texts)
+        sigs = np.zeros((n, self.num_perm), dtype=np.uint64)
+        shingles = [_shingle_hashes(t) for t in texts]
+        counts = np.array([s.size for s in shingles], dtype=np.int64)
+        cap_s = self._SLICE_ENTRIES // self.num_perm
+        # whale doc whose shingles alone exceed the scratch: fold chunk
+        # minima (min over a partition of the shingles == min over all)
+        for i in np.flatnonzero(counts > cap_s):
+            acc = np.full(self.num_perm, np.iinfo(np.uint64).max, np.uint64)
+            h = shingles[i]
+            for lo in range(0, h.size, cap_s):
+                np.minimum(acc, self._kernel(h[lo:lo + cap_s]).min(axis=1),
+                           out=acc)
+            sigs[i] = acc
+            counts[i] = 0  # handled; exclude from the sliced pass
+        nonempty = np.flatnonzero(counts)
+        lo = 0
+        while lo < nonempty.size:
+            # grow the doc slice until the K x S scratch hits the cap
+            hi, total = lo, 0
+            while hi < nonempty.size and (
+                    total == 0 or total + counts[nonempty[hi]] <= cap_s):
+                total += counts[nonempty[hi]]
+                hi += 1
+            idx = nonempty[lo:hi]
+            flat = np.concatenate([shingles[i] for i in idx])
+            vals = self._kernel(flat)
+            offs = np.zeros(idx.size, dtype=np.int64)
+            np.cumsum(counts[idx[:-1]], out=offs[1:])
+            mins = np.minimum.reduceat(vals, offs, axis=1)  # (K, docs)
+            sigs[idx] = mins.T.astype(np.uint64)
+            lo = hi
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Explode each doc to one row per LSH band: (band, band_hash, id, sig)."""
-        ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        out_band, out_hash, out_id, out_sig = [], [], [], []
-        for did, text in zip(ids, texts):
-            h = _shingle_hashes(text)
-            if h.size == 0:
-                sig = np.zeros(self.num_perm, dtype=np.uint64)
-            else:
-                vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % MERSENNE
-                sig = vals.min(axis=1).astype(np.uint64)
-            for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
-                bh = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                out_band.append(band)
-                out_hash.append(bh)
-                out_id.append(did)
-                out_sig.append(sig.tobytes())
+        n = len(texts)
+        sigs = self._signatures(texts)
+        sig_bytes = [s.tobytes() for s in sigs]
+        r = self.rows_per_band
+        # band hashes stay blake2b over the exact same chunk bytes (bucket
+        # assignment — and therefore candidate output — is unchanged)
+        out_hash = [
+            hashlib.blake2b(sig_bytes[i][band * r * 8:(band + 1) * r * 8],
+                            digest_size=8).hexdigest()
+            for i in range(n) for band in range(self.bands)
+        ]
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), self.bands)
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int32()),
+                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
                 "band_hash": pa.array(out_hash, pa.string()),
-                "id": pa.array(out_id),
-                "sig": pa.array(out_sig, pa.binary()),
+                "id": batch[self.id_col].take(pa.array(doc_idx)),
+                "sig": pa.array([sig_bytes[i] for i in doc_idx], pa.binary()),
             }
         )
 
@@ -216,17 +274,20 @@ def minhash_candidate_pairs(ds: Dataset, threshold: float = 0.8, num_perm: int =
 def minhash_dedup(ds: Dataset, threshold: float = 0.8,
                   max_pairs: int = 5_000_000, **kw) -> Dataset:
     """Cluster near-dups; returns (doc_id, cluster_id) with cluster_id = min
-    member id. Driver union-find guarded by ``max_pairs`` (raises rather
-    than silently OOMing the driver); for larger candidate sets run
-    `propagate_min_labels` shard-by-shard or raise the threshold."""
+    member id.
+
+    Up to ``max_pairs`` candidate pairs the clustering is a driver
+    union-find (exact transitive closure, cheapest at typical near-dup
+    densities). Past the guard it DEGRADES AUTOMATICALLY — mirroring
+    embedding_neardup — to `propagate_min_labels_distributed` (zero
+    driver state) with the labels applied through the bucketed
+    `hash_join`, so no path ever materializes the pair set on the driver.
+    """
     id_col = kw.get("id_col", "doc_id")
     pairs_ds = minhash_candidate_pairs(ds, threshold, **kw).materialize()
     n_pairs = pairs_ds.count()  # free on the materialized plan
     if n_pairs > max_pairs:
-        raise ValueError(
-            f"{n_pairs} candidate pairs exceed max_pairs={max_pairs}; raise the "
-            f"threshold or cluster with propagate_min_labels_distributed"
-        )
+        return _minhash_dedup_distributed(ds, pairs_ds, id_col)
     pairs = pairs_ds.take_all()
     parent: dict = {}
 
@@ -250,6 +311,31 @@ def minhash_dedup(ds: Dataset, threshold: float = 0.8,
         return pa.table({id_col: batch[id_col], "cluster_id": labels})
 
     return ds.map_batches(label, batch_format="pyarrow")
+
+
+def _minhash_dedup_distributed(ds: Dataset, pairs_ds: Dataset,
+                               id_col: str) -> Dataset:
+    """Scale path for minhash_dedup: connected components with no driver
+    state, labels applied via the bucketed co-group hash_join (left join;
+    unlabeled docs are their own cluster)."""
+    from .relational import hash_join
+
+    labels = propagate_min_labels_distributed(pairs_ds)
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([id_col, "cluster_id"])
+
+    label_ds = labels.map_batches(rename, batch_format="pyarrow")
+    joined = hash_join(ds.select_columns([id_col]), label_ds,
+                       on=id_col, how="left")
+
+    def fill(t: pa.Table) -> pa.Table:
+        cid = pc.coalesce(t["cluster_id"],
+                          pc.cast(t[id_col], t["cluster_id"].type))
+        return pa.table({id_col: t[id_col],
+                         "cluster_id": pc.cast(cid, pa.int64())})
+
+    return joined.map_batches(fill, batch_format="pyarrow")
 
 
 def propagate_min_labels(edges: Dataset, n_rounds: int = 8) -> Dataset:
@@ -464,9 +550,16 @@ def embedding_neardup(ds: Dataset, threshold: float = 0.95,
     near-duplicate regime), but no driver/broadcast memory dependence on
     corpus size.
     """
-    # size gate BEFORE collecting anything (count() is metadata-cheap for
-    # file-backed datasets and never pulls rows to the driver)
-    if ds.count() > max_broadcast_rows:
+    # size gate BEFORE collecting anything. _meta_count is free when the
+    # plan's row count is known from metadata (file-backed reads); when it
+    # isn't, materialize ONCE so the gate's count and the downstream
+    # consumer (take_all here, or the bucketed path) share a single
+    # execution instead of running the upstream plan twice.
+    n = ds._meta_count() if hasattr(ds, "_meta_count") else None
+    if n is None:
+        ds = ds.materialize()
+        n = ds.count()
+    if n > max_broadcast_rows:
         return embedding_neardup_bucketed(
             ds, threshold=threshold, vec_col=vec_col, id_col=id_col
         )
@@ -565,20 +658,37 @@ def embedding_neardup_bucketed(ds: Dataset, threshold: float = 0.95,
                              "cos": pa.array([], pa.float64())})
         mat = _ann_normalize(np.stack(
             [np.asarray(v, dtype=np.float64) for v in group[vec_col].to_pylist()]))
+        # sort by id so index order == id order: upper-triangle blocks
+        # (j0 >= i0) then cover exactly the a < b pairs, and BOTH matmul
+        # operands are chunked — peak allocation is step^2 floats no matter
+        # how degenerate (over-full) the bucket is. Compute in a pathological
+        # all-identical-vectors bucket is still O(n^2) — inherent to LSH —
+        # but memory stays flat.
+        order = np.argsort(g_ids, kind="stable")
+        g_ids = g_ids[order]
+        mat = mat[order]
+        step = min(max_bucket_rows, 4096)
         rows_a, rows_b, rows_c = [], [], []
-        step = max_bucket_rows
-        for lo in range(0, n, step):
-            sims = mat[lo:lo + step] @ mat.T
-            ii, jj = np.nonzero(sims >= threshold)
-            for i, j in zip(ii, jj):
-                a, b = int(g_ids[lo + i]), int(g_ids[j])
-                if a < b:
-                    rows_a.append(a)
-                    rows_b.append(b)
-                    rows_c.append(round(float(sims[i, j]), 6))
-        return pa.table({"a": pa.array(rows_a, pa.int64()),
-                         "b": pa.array(rows_b, pa.int64()),
-                         "cos": pa.array(rows_c, pa.float64())})
+        for i0 in range(0, n, step):
+            a_blk = mat[i0:i0 + step]
+            for j0 in range(i0, n, step):
+                sims = a_blk @ mat[j0:j0 + step].T
+                ii, jj = np.nonzero(sims >= threshold)
+                gi = ii + i0
+                gj = jj + j0
+                keep = gi < gj  # strict upper triangle (handles diagonal blk)
+                if not keep.any():
+                    continue
+                rows_a.append(g_ids[gi[keep]])
+                rows_b.append(g_ids[gj[keep]])
+                rows_c.append(np.round(sims[ii[keep], jj[keep]], 6))
+        if not rows_a:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        return pa.table({"a": pa.array(np.concatenate(rows_a)),
+                         "b": pa.array(np.concatenate(rows_b)),
+                         "cos": pa.array(np.concatenate(rows_c))})
 
     pairs = (
         ds.map_batches(expand, batch_format="pyarrow")

@@ -145,7 +145,16 @@ def _fast_fragment(html: str) -> Element | None:
         if m.group(5) is not None:
             return None  # stray '<' has parser-specific lookahead rules
         closing, tag, attrs = m.group(1), m.group(2).lower(), m.group(3)
+        # The tag-name group stops at the first non-alphanumeric char; the
+        # attrs group must therefore START with a real delimiter or the
+        # "attrs" are actually part of a name this tokenizer can't represent
+        # (hyphenated/custom tags like <nav-bar>, stdlib names with exotic
+        # chars like <p\x0b>) -> stdlib, which models those exactly.
+        if attrs and not (attrs[0] in " \t\n\r\f" or attrs == "/"):
+            return None
         if closing:
+            if attrs.strip():
+                return None  # end tag with trailing junk -> stdlib
             for i in range(len(stack) - 1, 0, -1):
                 if stack[i].tag == tag:
                     del stack[i:]

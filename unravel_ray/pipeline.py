@@ -17,11 +17,13 @@ Library code never calls ray.init() — callers own the session.
 
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import json
 import os
 import shutil
 import tempfile
+import time
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -232,6 +234,40 @@ def _repair_split_docs(docs: Dataset, extracted: Dataset, cfg: PipelineConfig) -
     return clean.union(_recompute_docs(docs, dup_ids, cfg))
 
 
+@contextlib.contextmanager
+def _publish_lock(out_dir: str, timeout_s: float = 600.0):
+    """Cross-process commit mutex for a shared publish dir: O_EXCL lock
+    file; waiters poll until the holder releases (or the manifest lands).
+    A stale lock older than ``timeout_s`` (crashed holder) is stolen."""
+    lock = os.path.join(out_dir, ".publish.lock")
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            if os.path.exists(os.path.join(out_dir, "PUBLISHED.json")):
+                # holder committed; nothing left to build
+                yield
+                return
+            try:
+                if time.time() - os.stat(lock).st_mtime > timeout_s:
+                    os.unlink(lock)  # stale (crashed holder) — steal
+                    continue
+            except FileNotFoundError:
+                continue  # released between the open and the stat — retry
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"publish lock busy > {timeout_s}s: {lock}")
+            time.sleep(0.2)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(lock)
+
+
 def extract_publish(docs: Dataset, cfg: PipelineConfig | None = None,
                     out_dir: str | None = None) -> Dataset:
     """Write-audit-publish extraction — the default unbounded-scale path.
@@ -260,19 +296,24 @@ def extract_publish(docs: Dataset, cfg: PipelineConfig | None = None,
     repair_dir = os.path.join(out_dir, "repair")
     if not os.path.exists(manifest_path):
         os.makedirs(out_dir, exist_ok=True)
-        shutil.rmtree(raw_dir, ignore_errors=True)
-        shutil.rmtree(repair_dir, ignore_errors=True)
-        _build_extraction_core(docs, cfg).write_parquet(raw_dir)
-        split_ids, n_marker, n_raw = _audit_split_ids(raw_dir)
-        if split_ids:
-            _recompute_docs(docs, split_ids, cfg).write_parquet(repair_dir)
-        tmp = manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"n_split_repaired": len(split_ids),
-                       "n_rows": n_raw - n_marker + len(split_ids)}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, manifest_path)
+        with _publish_lock(out_dir):
+            # re-check under the lock: another process may have committed
+            # while we waited (two sessions sharing the publish cache must
+            # not rmtree/rewrite raw_dir under each other)
+            if not os.path.exists(manifest_path):
+                shutil.rmtree(raw_dir, ignore_errors=True)
+                shutil.rmtree(repair_dir, ignore_errors=True)
+                _build_extraction_core(docs, cfg).write_parquet(raw_dir)
+                split_ids, n_marker, n_raw = _audit_split_ids(raw_dir)
+                if split_ids:
+                    _recompute_docs(docs, split_ids, cfg).write_parquet(repair_dir)
+                tmp = manifest_path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump({"n_split_repaired": len(split_ids),
+                               "n_rows": n_raw - n_marker + len(split_ids)}, f)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.rename(tmp, manifest_path)
     with open(manifest_path) as f:
         manifest = json.load(f)
     ds = ray.data.read_parquet(raw_dir)
@@ -384,12 +425,25 @@ def _code_fingerprint() -> str:
     return h.hexdigest()
 
 
+def _input_fingerprint(sf_dir: str) -> str:
+    """(size, mtime_ns) of the input parquet — regenerating documents.parquet
+    in place must invalidate the published-extraction cache, same as a code
+    change does via _code_fingerprint."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(path)
+        return f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        return "missing"
+
+
 def flagship_publish_dir(sf_dir: str, cfg: PipelineConfig) -> str:
-    """Deterministic publish dir: same (input, config, code) -> same dir, so
-    the N queries that start from the flagship extraction share ONE
+    """Deterministic publish dir: same (input-data, config, code) -> same
+    dir, so the N queries that start from the flagship extraction share ONE
     extraction run instead of re-running the pipeline each."""
     key = hashlib.blake2b(
-        f"{os.path.abspath(sf_dir)}:{cfg.seed}:{cfg.reassembly}:"
+        f"{os.path.abspath(sf_dir)}:{_input_fingerprint(sf_dir)}:"
+        f"{cfg.seed}:{cfg.reassembly}:"
         f"{cfg.preferred_provider}:{cfg.fallback_chain}:{_code_fingerprint()}".encode(),
         digest_size=10,
     ).hexdigest()

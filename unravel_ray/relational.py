@@ -1323,7 +1323,11 @@ def pii_scrub_stats(sf_dir: str) -> Dataset:
         suffix = pc.binary_join_element_wise(
             pa.array([" contact user"] * batch.num_rows), did,
             pa.array(["@example.com or +1 555-010-"] * batch.num_rows),
-            pc.utf8_lpad(did, 4, "0"), pa.array([" now"] * batch.num_rows),
+            # slice to EXACTLY 4 digits: lpad alone leaves 5+-digit ids
+            # unpadded while SQL lpad truncates — parity requires both sides
+            # to truncate (ADVICE r2; latent at doc_id >= 10000)
+            pc.utf8_slice_codeunits(pc.utf8_lpad(did, 4, "0"), 0, 4),
+            pa.array([" now"] * batch.num_rows),
             "")
         text = pc.binary_join_element_wise(
             pc.fill_null(batch["text"], ""), suffix, "")
