@@ -369,6 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_totals": R.user_event_totals,
         "top_documents": R.top_documents,
         "search_content": R.search_content,
+        "search_fuzzy": R.search_fuzzy,
         "documents_filtered": R.documents_filtered,
         "document_previews": R.document_previews,
         "customers_by_region": R.customers_by_region,
@@ -469,6 +470,50 @@ def _sha3_int_sql(expr: str) -> str:
     return (f"(256 * ({_HEXVAL.format(s=s, i=1)}) "
             f"+ 16 * ({_HEXVAL.format(s=s, i=2)}) "
             f"+ ({_HEXVAL.format(s=s, i=3)}))")
+
+
+def _search_content_sql(tokens=("hash", "merge", "src3"),
+                        weight=3, lang="en", page_size=20) -> str:
+    """Multi-field weighted term frequency + Page total, mirroring
+    relational.search_content exactly (content tf + weight x derived
+    display-name tf)."""
+    name = ("lower('doc_' || CAST(doc_id AS VARCHAR) || '_' "
+            "|| source || '.txt')")
+    terms = " + ".join(
+        rf"len(regexp_extract_all(lower(text), '\b{t}\b'))"
+        rf" + {weight} * len(regexp_extract_all({name}, '\b{t}\b'))"
+        for t in tokens
+    )
+    return f"""
+        WITH scored AS (
+          SELECT doc_id, lang, CAST({terms} AS BIGINT) AS score
+          FROM documents WHERE lang = '{lang}')
+        SELECT doc_id, score, lang,
+               (SELECT COUNT(*) FROM scored WHERE score > 0) AS total_matches
+        FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id
+        LIMIT {page_size} OFFSET 0
+    """
+
+
+def _search_fuzzy_sql(tokens=("hashe", "mergee"), lang="en", k=20) -> str:
+    """Edit-distance<=1 token match via DuckDB's native levenshtein over
+    the extracted [a-z]+ word list — verifying relational.search_fuzzy's
+    RE2 lev-1 alternation enumeration."""
+    terms = " + ".join(
+        f"len(list_filter(words, x -> levenshtein(x, '{t}') <= 1))"
+        for t in tokens
+    )
+    return f"""
+        WITH w AS (
+          SELECT doc_id, lang,
+                 regexp_extract_all(lower(text), '[a-z]+') AS words
+          FROM documents WHERE lang = '{lang}'),
+        scored AS (
+          SELECT doc_id, lang, CAST({terms} AS BIGINT) AS score FROM w)
+        SELECT doc_id, score, lang FROM scored WHERE score > 0
+        ORDER BY score DESC, doc_id LIMIT {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -591,23 +636,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, n_chars FROM documents
             ORDER BY n_chars DESC, doc_id LIMIT 20
         """,
-        "search_content": r"""
-            WITH scored AS (
-              SELECT doc_id, lang,
-                     CAST(len(regexp_extract_all(lower(text), '\bhash\b')) +
-                          len(regexp_extract_all(lower(text), '\bmerge\b')) +
-                          len(regexp_extract_all(lower(text), '\bwindow\b'))
-                       AS BIGINT) AS score
-              FROM documents WHERE lang = 'en')
-            SELECT doc_id, score, lang FROM scored
-            WHERE score > 0
-            ORDER BY score DESC, doc_id
-            LIMIT 20 OFFSET 0
-        """,
+        "search_content": _search_content_sql(),
+        "search_fuzzy": _search_fuzzy_sql(),
         "documents_filtered": """
-            SELECT doc_id, lang, source, n_chars FROM documents
-            WHERE lang = 'en' AND n_chars BETWEEN 200 AND 2000
-            ORDER BY n_chars DESC, doc_id LIMIT 25
+            WITH f AS (
+              SELECT doc_id, lang, source, n_chars FROM documents
+              WHERE lang = 'en' AND n_chars BETWEEN 200 AND 2000)
+            SELECT doc_id, lang, source, n_chars,
+                   (SELECT COUNT(*) FROM f) AS total
+            FROM f ORDER BY n_chars DESC, doc_id LIMIT 25
         """,
         "document_previews": """
             SELECT doc_id,

@@ -254,3 +254,21 @@ def test_docx_export_is_valid_ooxml(ray_session):
             assert r["file_name"].endswith(".docx")
         else:
             assert r["docx"] == b""
+
+
+def test_derive_join_buckets_scales_with_rows(ray_session):
+    """Bucket count must grow with the estimated input so per-bucket task
+    memory stays flat at corpus scale; unknown sizes keep the floor."""
+    import ray.data
+
+    from unravel_ray.relational import derive_join_buckets
+
+    small = ray.data.range(1000)
+    big = ray.data.range(50_000_000)  # metadata count, nothing executes
+    assert derive_join_buckets(small, small) == 32
+    assert derive_join_buckets(big, small) == 200  # 50M / 250k
+    assert derive_join_buckets(small, big, target_rows_per_bucket=1_000_000) == 50
+    # transforms hide the metadata count -> floor unless a hint is passed
+    hidden = big.map_batches(lambda t: t, batch_format="pyarrow")
+    assert derive_join_buckets(hidden, small) == 32
+    assert derive_join_buckets(hidden, small, est_rows=10_000_000) == 40

@@ -55,6 +55,53 @@ def _fingerprint(batch_ids: list[str]) -> tuple[int, int]:
     return acc, len(batch_ids)
 
 
+_SEP = b"\x1f"  # unit separator: cannot appear in the cast scalar strings
+
+
+def _col_str(col, n: int) -> pa.Array:
+    """Column -> per-row string with \\x00-null sentinel, via Arrow kernels.
+    Nested list / list<struct> columns are flattened, stringified and
+    re-joined with their original offsets (pc.binary_join) — no per-row
+    Python."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if n == 0:
+        return pa.array([], pa.string())
+    t = arr.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        values = arr.flatten()  # null-list elements contribute no values
+        if pa.types.is_struct(values.type):
+            parts = [
+                pc.fill_null(pc.cast(values.field(i), pa.string()), "\x00")
+                for i in range(values.type.num_fields)
+            ]
+            inner = pc.binary_join_element_wise(*parts, ";")
+        else:
+            inner = pc.fill_null(pc.cast(values, pa.string()), "\x00")
+        # rebuild offsets relative to flatten()'s value ordering (flatten
+        # drops values under null lists, so recompute from value lengths)
+        import numpy as np
+
+        lens = pc.fill_null(pc.list_value_length(arr), 0)
+        off = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(lens.to_numpy(zero_copy_only=False), out=off[1:])
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(off), inner), ",")
+        return pc.if_else(pc.is_valid(arr), joined, pa.scalar("\x00", pa.string()))
+    return pc.fill_null(pc.cast(arr, pa.string()), "\x00")
+
+
+def _row_keys(batch: pa.Table) -> list[bytes]:
+    """Per-row serialized fingerprint keys over the audited columns,
+    assembled with vectorized Arrow kernels (cast/fill_null/binary_join);
+    only the final crc32 accumulation is a Python loop."""
+    n = batch.num_rows
+    cols = ["doc_id", "spans", "mime_type", "file_size",
+            "start_page", "end_page", "pages"]
+    parts = [_col_str(batch[c], n) for c in cols if c in batch.column_names]
+    key_arr = pc.binary_join_element_wise(*parts, _SEP.decode("latin-1"))
+    return [b.encode("utf-8", "surrogatepass") for b in key_arr.to_pylist()]
+
+
 def input_fingerprint(docs, pid: int, n_partitions: int) -> str:
     """Order-independent content fingerprint of one partition's INPUT:
     xor of crc32 over (doc_id, spans, mime, size, page selection) per row.
@@ -67,12 +114,10 @@ def input_fingerprint(docs, pid: int, n_partitions: int) -> str:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
+        keys = _row_keys(batch)
         acc = 0
-        for r in batch.to_pylist():
-            key = repr((r.get("doc_id"), r.get("spans"), r.get("mime_type"),
-                        r.get("file_size"), r.get("start_page"),
-                        r.get("end_page"), r.get("pages")))
-            acc ^= zlib.crc32(key.encode())
+        for k in keys:
+            acc ^= zlib.crc32(k)
         return pa.table({"acc": pa.array([acc], pa.int64()),
                          "n": pa.array([batch.num_rows], pa.int64())})
 

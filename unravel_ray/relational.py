@@ -163,42 +163,60 @@ def top_documents(sf_dir: str, k: int = 20) -> Dataset:
 # content search — tokenized match + rank + pagination
 # ---------------------------------------------------------------------------
 
-def search_content(sf_dir: str, query: str = "hash merge window",
+# filename field boost, mirroring the reference's multi-field match where
+# fileName carries a higher weight than body content
+# (DocumentSearchIndex.java:45-48 fileName fields + :78-79 extractedText)
+FILENAME_WEIGHT = 3
+
+
+def search_content(sf_dir: str, query: str = "hash merge src3",
                    lang: str = "en", page: int = 1,
                    page_size: int = 20) -> "pa.Table":
-    """Full-text content search with deterministic relevance ranking.
+    """Multi-field full-text search with deterministic relevance ranking
+    and Page-object metadata.
 
     Mirrors DocumentSearchService.searchByContent (reference
     elasticsearch/service/DocumentSearchService.java:83-101: match query
-    over the indexed content, filters, pagination; index fields
-    DocumentSearchIndex.java:45-48,78-79). Elasticsearch BM25 relevance is
-    engine-specific, so the deterministic analog is integer term
-    frequency: score = total word-boundary occurrences of the query's
-    lowercased tokens. Filter: score > 0 AND lang filter (the reference's
-    status/type filter params). Order: score DESC, doc_id ASC. Page k of
-    size n = OFFSET (k-1)*n LIMIT n.
+    over fileName AND extractedText; DocumentSearchIndex.java:45-48,78-79)
+    and the Page result carrying total hits
+    (DocumentSearchService.java:174-186). Elasticsearch BM25 is
+    engine-specific, so the deterministic analog is weighted integer term
+    frequency: score = content occurrences + FILENAME_WEIGHT x
+    display-name occurrences (display name derived as
+    ``doc_<doc_id>_<source>.txt`` — SQL-reconstructible). Filter:
+    score > 0 AND lang. Order: score DESC, doc_id ASC; page k of size n =
+    OFFSET (k-1)*n LIMIT n. ``total_matches`` = full match count.
 
-    Scale shape: the scoring scan is a vectorized map (Arrow RE2 kernels,
-    count_substring_regex); each batch keeps only its local top
-    page*page_size candidates, so the driver merge sees at most
-    (#batches x page x page_size) slim rows, never the corpus.
+    Scale shape: one vectorized scoring scan (Arrow RE2 kernels); each
+    batch keeps its local top page*page_size candidates plus ONE marker
+    row carrying the batch's match count (combiner-first total), so the
+    driver merge sees at most (#batches x (page*page_size + 1)) slim
+    rows, never the corpus.
     """
     import re as _re
 
     tokens = [t for t in query.lower().split() if t]
     keep = page * page_size
-    ds = _pq(sf_dir, "documents", ["doc_id", "text", "lang"])
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    schema = pa.schema([("doc_id", pa.int64()), ("score", pa.int64()),
+                        ("lang", pa.string())])
 
     def score_batch(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.equal(batch["lang"], lang))
         if batch.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "score": pa.array([], pa.int64()),
-                             "lang": pa.array([], pa.string())})
+            return schema.empty_table()
         low = pc.utf8_lower(batch["text"])
+        name = pc.utf8_lower(pc.binary_join_element_wise(
+            pa.array(["doc_"] * batch.num_rows),
+            pc.cast(batch["doc_id"], pa.string()),
+            pa.array(["_"] * batch.num_rows), batch["source"],
+            pa.array([".txt"] * batch.num_rows), ""))
         s = None
         for tok in tokens:
-            c = pc.count_substring_regex(low, rf"\b{_re.escape(tok)}\b")
+            pat = rf"\b{_re.escape(tok)}\b"
+            c = pc.add(pc.count_substring_regex(low, pat),
+                       pc.multiply(pc.count_substring_regex(name, pat),
+                                   FILENAME_WEIGHT))
             s = c if s is None else pc.add(s, c)
         t = pa.table({
             "doc_id": batch["doc_id"],
@@ -208,19 +226,88 @@ def search_content(sf_dir: str, query: str = "hash merge window",
         idx = pc.sort_indices(
             t, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
         )
-        return t.take(idx[:keep])
+        # marker row (doc_id = -1) carries this batch's total match count
+        marker = pa.table({"doc_id": pa.array([-1], pa.int64()),
+                           "score": pa.array([t.num_rows], pa.int64()),
+                           "lang": pa.array([None], pa.string())})
+        return pa.concat_tables([t.take(idx[:keep]), marker])
 
     candidates = ds.map_batches(score_batch, batch_format="pyarrow").take_all()
-    merged = pa.Table.from_pylist(
-        candidates,
-        schema=pa.schema([("doc_id", pa.int64()), ("score", pa.int64()),
-                          ("lang", pa.string())]),
-    )
+    merged = pa.Table.from_pylist(candidates, schema=schema)
+    is_marker = pc.equal(merged["doc_id"], -1)
+    total = pc.sum(merged.filter(is_marker)["score"]).as_py() or 0
+    merged = merged.filter(pc.invert(is_marker))
     idx = pc.sort_indices(
         merged, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
     )
     lo = (page - 1) * page_size
-    return merged.take(idx[lo:lo + page_size])
+    out = merged.take(idx[lo:lo + page_size])
+    return out.append_column(
+        "total_matches", pa.array([total] * out.num_rows, pa.int64()))
+
+
+def _lev1_pattern(tok: str) -> str:
+    """RE2 whole-word pattern matching exactly the strings at Levenshtein
+    distance <= 1 from ``tok`` over [a-z]: exact + one substitution +
+    one deletion + one insertion. O(len) alternatives, no backtracking
+    blowup — the deterministic analog of Elasticsearch match fuzziness
+    (DocumentSearchService.java:83-101 relevance semantics)."""
+    if not tok.isalpha() or not tok.islower():
+        raise ValueError(f"fuzzy token must be lowercase alpha: {tok!r}")
+    alts = {tok}
+    for i in range(len(tok)):
+        alts.add(tok[:i] + "[a-z]" + tok[i + 1:])  # substitution (incl exact)
+        if len(tok) > 1:
+            alts.add(tok[:i] + tok[i + 1:])        # deletion
+    for i in range(len(tok) + 1):
+        alts.add(tok[:i] + "[a-z]" + tok[i:])      # insertion
+    return r"\b(?:" + "|".join(sorted(alts)) + r")\b"
+
+
+def search_fuzzy(sf_dir: str, query: str = "hashe mergee",
+                 lang: str = "en", k: int = 20) -> "pa.Table":
+    """Typo-tolerant content search: a document word counts when it is
+    within edit distance 1 of a query token.
+
+    Both engines agree exactly: words are the maximal [a-z]+ runs of
+    lower(text) (Ray pre-cleans non-letters to spaces so RE2 ``\\b``
+    equals those run edges), and the lev<=1 language is enumerated as an
+    O(len) RE2 alternation (``_lev1_pattern``) — DuckDB verifies with its
+    native ``levenshtein`` over the extracted word list. Same per-batch
+    top-k + marker-count shape as search_content.
+    """
+    tokens = [t for t in query.lower().split() if t]
+    pats = [_lev1_pattern(t) for t in tokens]
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "lang"])
+    schema = pa.schema([("doc_id", pa.int64()), ("score", pa.int64()),
+                        ("lang", pa.string())])
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["lang"], lang))
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        clean = pc.replace_substring_regex(
+            pc.utf8_lower(batch["text"]), "[^a-z]+", " ")
+        s = None
+        for pat in pats:
+            c = pc.count_substring_regex(clean, pat)
+            s = c if s is None else pc.add(s, c)
+        t = pa.table({
+            "doc_id": batch["doc_id"],
+            "score": pc.cast(s, pa.int64()),
+            "lang": batch["lang"],
+        }).filter(pc.greater(pc.cast(s, pa.int64()), 0))
+        idx = pc.sort_indices(
+            t, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+        )
+        return t.take(idx[:k])
+
+    candidates = ds.map_batches(score_batch, batch_format="pyarrow").take_all()
+    merged = pa.Table.from_pylist(candidates, schema=schema)
+    idx = pc.sort_indices(
+        merged, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+    )
+    return merged.take(idx[:k])
 
 
 # ---------------------------------------------------------------------------
@@ -229,13 +316,18 @@ def search_content(sf_dir: str, query: str = "hash merge window",
 
 def documents_filtered(sf_dir: str, lang: str = "en",
                        min_chars: int = 200, max_chars: int = 2000,
-                       k: int = 25) -> Dataset:
-    """Filtered document listing: the reference's findByUserId + filter
-    params path (DocumentSearchService.java:174-186 — filter by
-    fileType/status/date, sort, page). Filters push down as a vectorized
-    Arrow mask before the sort; only matching slim rows reach the
-    range-partition sort."""
+                       k: int = 25) -> "pa.Table":
+    """Filtered document listing with Page-object metadata: the
+    reference's findByUserId + filter params path
+    (DocumentSearchService.java:174-186 — filter by fileType/status/date,
+    sort, page; the Page result carries total hits). Filters push down as
+    a vectorized Arrow mask; each batch keeps its local top-k plus one
+    marker row carrying the batch's match count, so ``total`` is computed
+    combiner-first in the SAME pass and the driver merge sees at most
+    (#batches x (k+1)) slim rows."""
     ds = _pq(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+    schema = pa.schema([("doc_id", pa.int64()), ("lang", pa.string()),
+                        ("source", pa.string()), ("n_chars", pa.int64())])
 
     def filt(batch: pa.Table) -> pa.Table:
         mask = pc.and_(
@@ -243,13 +335,27 @@ def documents_filtered(sf_dir: str, lang: str = "en",
             pc.and_(pc.greater_equal(batch["n_chars"], min_chars),
                     pc.less_equal(batch["n_chars"], max_chars)),
         )
-        return batch.filter(mask)
+        t = batch.filter(mask)
+        idx = pc.sort_indices(
+            t, sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")]
+        )
+        marker = pa.table({"doc_id": pa.array([-1], pa.int64()),
+                           "lang": pa.array([None], pa.string()),
+                           "source": pa.array([None], pa.string()),
+                           "n_chars": pa.array([t.num_rows], pa.int64())})
+        return pa.concat_tables([t.take(idx[:k]), marker])
 
-    return (
-        ds.map_batches(filt, batch_format="pyarrow")
-        .sort(["n_chars", "doc_id"], descending=[True, False])
-        .limit(k)
+    candidates = ds.map_batches(filt, batch_format="pyarrow").take_all()
+    merged = pa.Table.from_pylist(candidates, schema=schema)
+    is_marker = pc.equal(merged["doc_id"], -1)
+    total = pc.sum(merged.filter(is_marker)["n_chars"]).as_py() or 0
+    merged = merged.filter(pc.invert(is_marker))
+    idx = pc.sort_indices(
+        merged, sort_keys=[("n_chars", "descending"), ("doc_id", "ascending")]
     )
+    out = merged.take(idx[:k])
+    return out.append_column("total", pa.array([total] * out.num_rows,
+                                               pa.int64()))
 
 
 # ---------------------------------------------------------------------------
@@ -492,7 +598,8 @@ def validation_accounting(sf_dir: str) -> Dataset:
     def derive(batch: pa.Table) -> pa.Table:
         src_num = pc.cast(pc.utf8_slice_codeunits(batch["source"], 3, 99), pa.int64())
         mime_idx = pc.cast(pc.subtract(src_num, pc.multiply(pc.divide(src_num, 6), 6)), pa.int32())
-        mimes = pa.array([_MIME_CYCLE[i] for i in mime_idx.to_pylist()], pa.string())
+        # dictionary take instead of a per-row list comp
+        mimes = pc.take(pa.array(_MIME_CYCLE, pa.string()), mime_idx)
         size = pc.multiply(batch["n_chars"], pa.scalar(20_000, pa.int64()))
         mime_ok = pc.is_in(mimes, value_set=pa.array(sorted(_ALLOWED), pa.string()))
         size_ok = pc.less_equal(size, pa.scalar(10 * 1024 * 1024))
@@ -788,19 +895,26 @@ def event_sessions(sf_dir: str, gap_minutes: int = 30) -> Dataset:
         new_session = np.ones(len(ts), dtype=np.int64)
         if len(ts) > 1:
             new_session[1:] = (np.diff(ts) >= gap_us).astype(np.int64)
-        session_idx = np.cumsum(new_session) - 1
-        n_sessions = int(session_idx[-1]) + 1 if len(ts) else 0
-        starts, counts, durs = [], [], []
-        for s in range(n_sessions):
-            mask = session_idx == s
-            t = ts[mask]
-            starts.append(int(t[0]))
-            counts.append(int(mask.sum()))
-            durs.append(int(t[-1] - t[0]))
+        # session boundaries, fully vectorized: per-session first/last/count
+        # come from the boundary index array — no O(sessions x events)
+        # per-session masks
+        bounds = np.flatnonzero(new_session)          # first event per session
+        n_sessions = bounds.size
+        if n_sessions:
+            ends = np.empty(n_sessions, dtype=np.int64)  # last event index
+            ends[:-1] = bounds[1:] - 1
+            ends[-1] = len(ts) - 1
+            counts = np.empty(n_sessions, dtype=np.int64)
+            counts[:-1] = np.diff(bounds)
+            counts[-1] = len(ts) - bounds[-1]
+            starts = ts[bounds]
+            durs = ts[ends] - starts
+        else:
+            starts = counts = durs = np.empty(0, dtype=np.int64)
         uid = g["user_id"][0].as_py() if len(ts) else None
         return pa.table({
             "user_id": pa.array([uid] * n_sessions, pa.int64()),
-            "session_start": pa.array(starts, pa.timestamp("us")),
+            "session_start": pa.array(starts).cast(pa.timestamp("us")),
             "n_events": pa.array(counts, pa.int64()),
             "duration_us": pa.array(durs, pa.int64()),
         })
@@ -812,8 +926,38 @@ def event_sessions(sf_dir: str, gap_minutes: int = 30) -> Dataset:
 # generic bucketed (co-group) hash join — the non-broadcast join shape
 # ---------------------------------------------------------------------------
 
+def _estimated_rows(ds: Dataset) -> int | None:
+    """Metadata row count when the plan knows it (file-backed reads and
+    row-preserving chains) — never executes the plan."""
+    try:
+        n = ds._meta_count()
+        return int(n) if n is not None else None
+    except Exception:
+        return None
+
+
+def derive_join_buckets(left: Dataset, right: Dataset,
+                        target_rows_per_bucket: int = 250_000,
+                        est_rows: int | None = None,
+                        min_buckets: int = 32) -> int:
+    """Bucket count sized to the DATA: each co-grouped bucket materializes
+    ~rows/n_buckets of both sides in one task, so a fixed count turns into
+    multi-GB tasks at corpus scale. Estimate = caller hint, else the larger
+    side's metadata count; unknown sizes keep the floor (the pre-r3
+    behavior) rather than guessing."""
+    if est_rows is None:
+        sizes = [s for s in (_estimated_rows(left), _estimated_rows(right))
+                 if s is not None]
+        est_rows = max(sizes) if sizes else None
+    if est_rows is None:
+        return min_buckets
+    return max(min_buckets, -(-est_rows // target_rows_per_bucket))
+
+
 def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
-              right_suffix: str = "_r", n_buckets: int = 32) -> Dataset:
+              right_suffix: str = "_r", n_buckets: int | None = None,
+              target_rows_per_bucket: int = 250_000,
+              est_rows: int | None = None) -> Dataset:
     """Distributed BUCKETED hash join with no driver/broadcast state —
     both sides shuffle by hash(key) % n_buckets and meet in co-located
     bucket groups, where Arrow's C++ hash join does the actual matching
@@ -825,8 +969,12 @@ def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
     bucket, and the per-bucket kernel splits the sides back out and runs
     ``pyarrow.Table.join`` (inner / left outer; duplicate keys produce
     the cartesian of matches natively). Bucketing instead of per-key
-    grouping keeps the group count fixed (n_buckets) regardless of key
+    grouping keeps the group count bounded regardless of key
     cardinality — per-group scheduling overhead doesn't scale with keys.
+    ``n_buckets=None`` (default) derives the count from the data —
+    ``max(32, est_rows / target_rows_per_bucket)`` — so per-bucket task
+    memory stays ~flat as inputs grow; pass ``est_rows`` when transforms
+    upstream hide the metadata count (see derive_join_buckets).
     Only the joined columns ride the shuffle — prune with select_columns
     before calling. Right-side columns colliding with left names get
     ``right_suffix``.
@@ -837,6 +985,9 @@ def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
     """
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
+    if n_buckets is None:
+        n_buckets = derive_join_buckets(left, right, target_rows_per_bucket,
+                                        est_rows)
     arrow_how = {"inner": "inner", "left": "left outer",
                  "semi": "left semi", "anti": "left anti"}[how]
     lschema = left.schema()   # ray.data.Schema: .names + .types (arrow)
@@ -921,7 +1072,12 @@ def orders_customer_join(sf_dir: str) -> Dataset:
         .map_batches(lambda t: t.rename_columns(
             {"c_custkey": "custkey"}.get(c, c) for c in t.column_names),
             batch_format="pyarrow")
-    return hash_join(orders, cust, on="custkey", how="left")
+    # the rename map_batches hides the metadata count — size buckets from
+    # the parquet footer (KB of metadata, no data read)
+    import pyarrow.parquet as pq
+
+    est = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    return hash_join(orders, cust, on="custkey", how="left", est_rows=est)
 
 
 # ---------------------------------------------------------------------------
