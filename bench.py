@@ -81,6 +81,23 @@ def run_bench() -> dict:
 
     ray.get([_warm.remote() for _ in range(num_cpus)])
 
+    # warm the extraction code path itself (untimed): one tiny synth
+    # extraction touches every hot module (synth bridge, html walk, OCR
+    # providers, finalize, parquet write) in the worker processes, so the
+    # first TIMED query measures steady-state compute, not first-call
+    # import/plan ramp (2-4 s of the first query's wall otherwise).
+    import shutil
+    import tempfile
+
+    from unravel_ray.config import PipelineConfig
+    from unravel_ray.pipeline import extract_publish
+    from unravel_ray.synth import corpus_dataset
+
+    warm_dir = tempfile.mkdtemp(prefix="unravel-bench-warm-")
+    extract_publish(corpus_dataset(4000, block_size=250),
+                    PipelineConfig(), warm_dir)
+    shutil.rmtree(warm_dir, ignore_errors=True)
+
     timings: dict[str, float] = {}
     n_docs = 0
     only_synth = bool(os.environ.get("GRAFT_ONLY_SYNTH"))
@@ -95,13 +112,6 @@ def run_bench() -> dict:
     # deterministic interleaved synth corpus, generated shard-locally in
     # the read tasks (identical bytes at any parallelism — per-doc RNG is
     # hash(seed, doc_id)).
-    import shutil
-    import tempfile
-
-    from unravel_ray.config import PipelineConfig
-    from unravel_ray.pipeline import extract_publish
-    from unravel_ray.synth import corpus_dataset
-
     synth_docs = int(os.environ.get("GRAFT_SYNTH_DOCS", "120000"))
     cfg = PipelineConfig(ocr_concurrency=(max(1, num_cpus // 4), num_cpus))
     # the shipped path: write-audit-publish. The job boundary is the

@@ -218,3 +218,33 @@ def test_embedding_neardup_degrades_to_bucketed(ray_session):
     out = embedding_neardup(ds, threshold=0.99, max_broadcast_rows=4).take_all()
     pairs = {(r["a"], r["b"]) for r in out}
     assert (0, 1) in pairs  # near-identical vectors found via buckets
+
+
+def test_blocked_grouping_matches_per_bucket_reference(ray_session):
+    """The fixed-block grouping (crc32(band_hash) % n_blocks +
+    equal-hash-run recovery) must produce the identical verified pair set
+    as grouping by the raw (band, band_hash) bucket key."""
+    from ray.data.aggregate import Min
+
+    from unravel_ray.dedup import (
+        MinHashStage,
+        _bucket_pairs,
+        minhash_candidate_pairs,
+    )
+
+    rows = [{"doc_id": i, "text": BASE if i % 3 == 0 else (NEAR if i % 3 == 1 else OTHER)}
+            for i in range(30)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+
+    got = {(r["a"], r["b"], r["est_jaccard"])
+           for r in minhash_candidate_pairs(ds, threshold=0.5).take_all()}
+
+    banded = ds.map_batches(
+        MinHashStage, fn_constructor_kwargs=dict(num_perm=64, bands=16),
+        batch_format="pyarrow", concurrency=2)
+    ref_pairs = banded.groupby(["band", "band_hash"]).map_groups(
+        lambda g: _bucket_pairs(g, 0.5), batch_format="pyarrow")
+    ref = {(r["a"], r["b"], r["est_jaccard"])
+           for r in ref_pairs.groupby(["a", "b"])
+           .aggregate(Min("est_jaccard", alias_name="est_jaccard")).take_all()}
+    assert got == ref and got  # identical, and non-empty (planted dups)
