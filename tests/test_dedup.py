@@ -248,3 +248,26 @@ def test_blocked_grouping_matches_per_bucket_reference(ray_session):
            for r in ref_pairs.groupby(["a", "b"])
            .aggregate(Min("est_jaccard", alias_name="est_jaccard")).take_all()}
     assert got == ref and got  # identical, and non-empty (planted dups)
+
+
+def test_simhash_blocked_matches_bruteforce(ray_session):
+    """Pigeonhole + blocked grouping must find EXACTLY the pairs a brute
+    force all-pairs hamming scan finds at the same threshold."""
+    from unravel_ray.dedup import simhash64
+
+    texts = {i: (BASE if i % 4 == 0 else NEAR if i % 4 == 1 else
+                 OTHER if i % 4 == 2 else BASE.replace("dog", "cat"))
+             for i in range(24)}
+    ds = ray.data.from_arrow(pa.Table.from_pylist(
+        [{"doc_id": i, "text": t} for i, t in texts.items()])).repartition(4)
+    got = {(r["a"], r["b"], r["hamming"])
+           for r in simhash_buckets(ds, max_hamming=6).take_all()}
+    hs = {i: simhash64(t) for i, t in texts.items()}
+    want = set()
+    for a in texts:
+        for b in texts:
+            if a < b:
+                ham = bin(hs[a] ^ hs[b]).count("1")
+                if ham <= 6:
+                    want.add((a, b, ham))
+    assert got == want and got

@@ -537,18 +537,11 @@ def simhash_buckets(ds: Dataset, n_tables: int | None = None, text_col: str = "t
             "simhash": pa.array([x - (1 << 63) for x in h_out], pa.int64()),  # signed store
         })
 
-    def pairs(group: pa.Table) -> pa.Table:
-        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                          "hamming": pa.array([], pa.int32())})
-        if group.num_rows < 2:
-            return empty
-        ids = group["id"].to_pylist()
-        hs = [x + (1 << 63) for x in group["simhash"].to_pylist()]
+    def _pairs_in_run(ids, hs, idxs, a_o, b_o, d_o) -> None:
         seen: dict = {}
-        for i, d in enumerate(ids):
-            seen.setdefault(d, i)
+        for i in idxs:
+            seen.setdefault(ids[i], i)
         uniq = sorted(seen.items())
-        a_o, b_o, d_o = [], [], []
         for x in range(len(uniq)):
             for y in range(x + 1, len(uniq)):
                 ham = bin(hs[uniq[x][1]] ^ hs[uniq[y][1]]).count("1")
@@ -556,13 +549,48 @@ def simhash_buckets(ds: Dataset, n_tables: int | None = None, text_col: str = "t
                     a_o.append(uniq[x][0])
                     b_o.append(uniq[y][0])
                     d_o.append(ham)
+
+    def blocked_pairs(group: pa.Table) -> pa.Table:
+        """One hash block holding many (tbl, key) buckets: sort, recover
+        equal-key runs vectorized, per-pair Python only on real collisions
+        — same fixed-group-count shape as minhash_candidate_pairs."""
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int32())})
+        if group.num_rows < 2:
+            return empty
+        t = group.sort_by([("tbl", "ascending"), ("key", "ascending")])
+        tbl = t["tbl"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        change = np.flatnonzero((tbl[1:] != tbl[:-1]) | (key[1:] != key[:-1])) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [tbl.shape[0]]))
+        multi = np.flatnonzero(ends - starts >= 2)
+        if multi.size == 0:
+            return empty
+        ids = t["id"].to_pylist()
+        hs = [x + (1 << 63) for x in t["simhash"].to_pylist()]
+        a_o, b_o, d_o = [], [], []
+        for r in multi:
+            _pairs_in_run(ids, hs, range(int(starts[r]), int(ends[r])),
+                          a_o, b_o, d_o)
         if not a_o:
             return empty
         return pa.table({"a": pa.array(a_o, pa.int64()), "b": pa.array(b_o, pa.int64()),
                          "hamming": pa.array(d_o, pa.int32())})
 
-    cand = ds.map_batches(sim_batch, batch_format="pyarrow").groupby(["tbl", "key"]).map_groups(
-        pairs, batch_format="pyarrow"
+    n_blocks = 64
+
+    def add_block(t: pa.Table) -> pa.Table:
+        k = t["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        tb = t["tbl"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((k * np.uint64(0x9E3779B97F4A7C15) + tb) >> np.uint64(33)) % n_blocks
+        return t.append_column("block", pa.array(b.astype(np.int32)))
+
+    cand = (
+        ds.map_batches(sim_batch, batch_format="pyarrow")
+        .map_batches(add_block, batch_format="pyarrow")
+        .groupby("block")
+        .map_groups(blocked_pairs, batch_format="pyarrow")
     )
     return cand.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
