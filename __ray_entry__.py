@@ -188,6 +188,31 @@ def _fingerprints(sf_dir: str):
     return fingerprints(ds)
 
 
+def _pack_sequences(sf_dir: str):
+    """LLM training-sample packing: global running token offsets via the
+    two-level segment scan (no global sort), docs assigned to fixed
+    seq_len packs."""
+    import ray.data
+
+    from unravel_ray.textstats import pack_sequences
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(16)
+    return pack_sequences(ds)
+
+
+def _vocab_top_words(sf_dir: str):
+    import ray.data
+
+    from unravel_ray.textstats import vocab_top_words
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    ).repartition(16)
+    return vocab_top_words(ds)
+
+
 def _token_stats(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
@@ -417,6 +442,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distribution": _lang_distribution,
         "quality_scores": _quality_scores,
         "token_stats": _token_stats,
+        "pack_sequences": _pack_sequences,
+        "vocab_top_words": _vocab_top_words,
         # -------- no_oracle tail (hash/approximate/binary shapes) --------
         "minhash_pairs": _minhash_pairs,
         "simhash_pairs": _simhash_pairs,
@@ -1194,6 +1221,29 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fr' END AS lang_detected,
                    COUNT(*) AS n_docs
             FROM b GROUP BY 1
+        """,
+        "pack_sequences": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(COALESCE(text, ''), '\S+')) AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+              FROM d)
+            SELECT doc_id, n_tokens,
+                   CAST(s // 2048 AS BIGINT) AS pack_id,
+                   CAST(s % 2048 AS BIGINT) AS pack_offset
+            FROM c
+        """,
+        "vocab_top_words": r"""
+            WITH w AS (
+              SELECT unnest(regexp_extract_all(lower(COALESCE(text, '')), '\S+')) AS word
+              FROM documents)
+            SELECT word, COUNT(*) AS n_occurrences
+            FROM w WHERE word <> ''
+            GROUP BY word ORDER BY n_occurrences DESC, word LIMIT 50
         """,
         "token_stats": rf"""
             WITH d AS (

@@ -135,3 +135,38 @@ def test_persisted_ivf_index_roundtrip(ray_session, tmp_path):
     # self-query: the vector itself is in its own nearest cell -> rank 0
     assert by_q[0][0]["vec_id"] == 3 and by_q[0][0]["rank"] == 0
     assert by_q[1][0]["vec_id"] == 42
+
+
+def test_pack_sequences_layout(ray_session):
+    """Docs lay out in id order; pack = start_offset // seq_len; boundary-
+    crossing docs belong to the pack they start in; empty/null text = 0
+    tokens."""
+    import pyarrow as pa
+    import ray.data
+
+    from unravel_ray.textstats import pack_sequences
+
+    rows = [{"doc_id": 0, "text": "a b c"},        # start 0
+            {"doc_id": 1, "text": None},           # 0 tokens, start 3
+            {"doc_id": 2, "text": "d e f g"},      # start 3, crosses 5
+            {"doc_id": 3, "text": "h"}]            # start 7 -> pack 1
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = {r["doc_id"]: (r["pack_id"], r["pack_offset"], r["n_tokens"])
+           for r in pack_sequences(ds, seq_len=5, seg_size=2).take_all()}
+    assert out == {0: (0, 0, 3), 1: (0, 3, 0), 2: (0, 3, 4), 3: (1, 2, 1)}
+
+
+def test_vocab_top_words_rank_and_ties(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from unravel_ray.textstats import vocab_top_words
+
+    rows = [{"text": "b b a a c"}, {"text": "B A\tz"}, {"text": None}]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    t = vocab_top_words(ds, k=3)
+    assert t.to_pylist() == [
+        {"word": "a", "n_occurrences": 3},   # ties broken word ASC
+        {"word": "b", "n_occurrences": 3},
+        {"word": "c", "n_occurrences": 1},
+    ]

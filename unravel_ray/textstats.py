@@ -239,3 +239,113 @@ def scrub_pii(ds: Dataset, text_col: str = "text") -> Dataset:
                 .append_column("n_phones", n_phone))
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing — LLM training-sample assembly operator
+# ---------------------------------------------------------------------------
+
+def pack_sequences(ds: Dataset, seq_len: int = 2048,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   seg_size: int = 1024) -> Dataset:
+    """Assign each doc to a fixed-token-budget training pack.
+
+    Spec (deterministic, engine-independent): docs are laid out in
+    ``id_col`` order; a doc whose running-start token offset is S goes to
+    pack ``S // seq_len`` at offset ``S % seq_len`` (boundary-crossing
+    docs belong to the pack they start in). Output columns:
+    (id, n_tokens, pack_id, pack_offset).
+
+    Scale shape — a GLOBAL running sum without a global sort: docs bucket
+    into fixed ``seg_size`` id segments; a slim groupby yields per-segment
+    token totals; the driver folds those into per-segment prefix offsets
+    (one int per 1024 docs — at 10^12 docs raise seg_size or add one more
+    folding level, same trick recursively) and broadcasts them; each
+    segment group (bounded, co-located, skew-free by construction) then
+    computes its local cumsum + prefix. Only (segment, n_tokens) ints
+    ride the shuffles.
+    """
+    import ray
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        n_tok = pc.cast(pc.count_substring_regex(
+            pc.fill_null(batch[text_col], ""), r"\S+"), pa.int64())
+        seg = pc.divide(batch[id_col], seg_size)
+        return pa.table({id_col: batch[id_col], "n_tokens": n_tok,
+                         "segment": pc.cast(seg, pa.int64())})
+
+    with_tok = ds.map_batches(tokens, batch_format="pyarrow").materialize()
+
+    seg_sums = (with_tok.select_columns(["segment", "n_tokens"])
+                .groupby("segment")
+                .aggregate(Sum("n_tokens", alias_name="seg_tokens"))
+                .take_all())
+    seg_sums.sort(key=lambda r: r["segment"])
+    prefix: dict[int, int] = {}
+    acc = 0
+    for r in seg_sums:
+        prefix[r["segment"]] = acc
+        acc += r["seg_tokens"]
+    prefix_ref = ray.put(prefix)
+
+    def pack_segment(group: pa.Table) -> pa.Table:
+        pre = ray.get(prefix_ref)
+        g = group.sort_by([(id_col, "ascending")])
+        n_tok = g["n_tokens"].to_numpy()
+        starts = np.zeros(len(n_tok), dtype=np.int64)
+        np.cumsum(n_tok[:-1], out=starts[1:])
+        starts += pre[g["segment"][0].as_py()]
+        return pa.table({
+            id_col: g[id_col],
+            "n_tokens": g["n_tokens"],
+            "pack_id": pa.array(starts // seq_len),
+            "pack_offset": pa.array(starts % seq_len),
+        })
+
+    return with_tok.groupby("segment").map_groups(
+        pack_segment, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary — global top-k word counts (combiner-first)
+# ---------------------------------------------------------------------------
+
+def vocab_top_words(ds: Dataset, k: int = 50,
+                    text_col: str = "text") -> pa.Table:
+    """Global top-k corpus vocabulary: (word, n_occurrences), ranked
+    (count DESC, word ASC).
+
+    Combiner-first end to end: per-batch Arrow value_counts partials
+    (words never leave the batch un-aggregated), a slim
+    groupby(word).sum shuffle, then per-batch partial top-k so the
+    driver merge sees at most (#batches x k) rows — never the
+    vocabulary, never the corpus.
+    """
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        words = pc.list_flatten(pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(batch[text_col], "")), r"\s+"))
+        words = words.filter(pc.not_equal(words, ""))
+        vc = words.value_counts()
+        return pa.table({"word": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    summed = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="n_occurrences"))
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("n_occurrences", "descending"), ("word", "ascending")])
+        return batch.take(idx[:k])
+
+    merged = pa.Table.from_pylist(
+        summed.map_batches(local_topk, batch_format="pyarrow").take_all(),
+        schema=pa.schema([("word", pa.string()),
+                          ("n_occurrences", pa.int64())]),
+    )
+    idx = pc.sort_indices(merged, sort_keys=[
+        ("n_occurrences", "descending"), ("word", "ascending")])
+    return merged.take(idx[:k])
