@@ -304,3 +304,37 @@ def test_fast_parser_claims_synth_corpus():
                     claimed += 1
     assert total > 50
     assert claimed / total > 0.95
+
+
+def _lev(a: str, b: str) -> int:
+    """Reference Levenshtein (DP)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=6), min_size=0,
+                max_size=12),
+       st.text(alphabet="abcd", min_size=1, max_size=5))
+@settings(max_examples=300, deadline=None)
+def test_lev1_pattern_matches_levenshtein_model(words, tok):
+    """The RE2 lev<=1 alternation must count EXACTLY the words within
+    edit distance 1 of the token — the property the search_fuzzy oracle
+    (DuckDB native levenshtein) checks end to end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from unravel_ray.relational import _lev1_pattern
+
+    text = " ".join(words)
+    got = pc.count_substring_regex(
+        pa.array([text]), _lev1_pattern(tok))[0].as_py()
+    want = sum(1 for w in words if _lev(w, tok) <= 1)
+    assert got == want, (words, tok, got, want)
