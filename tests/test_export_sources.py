@@ -272,3 +272,31 @@ def test_derive_join_buckets_scales_with_rows(ray_session):
     hidden = big.map_batches(lambda t: t, batch_format="pyarrow")
     assert derive_join_buckets(hidden, small) == 32
     assert derive_join_buckets(hidden, small, est_rows=10_000_000) == 40
+
+
+def test_render_spans_column_equals_row_form():
+    """Vectorized column render must match per-row render_spans for both
+    formats on offset-ordered spans (the finalize contract), including
+    null/empty spans lists and null texts."""
+    import pyarrow as pa
+
+    from unravel_ray.export import render_spans, render_spans_column
+
+    spans_type = pa.list_(pa.struct([
+        ("kind", pa.string()), ("text", pa.string()),
+        ("media_ref", pa.string()), ("offset", pa.int32())]))
+    docs = [
+        [{"kind": "heading", "text": "Title", "media_ref": None, "offset": 0},
+         {"kind": "text", "text": "body one", "media_ref": None, "offset": 1},
+         {"kind": "list_item", "text": "item", "media_ref": None, "offset": 2}],
+        [],
+        None,
+        [{"kind": "text", "text": None, "media_ref": None, "offset": 0},
+         {"kind": "text", "text": "", "media_ref": None, "offset": 1},
+         {"kind": "text", "text": "kept", "media_ref": None, "offset": 2}],
+    ]
+    col = pa.array(docs, spans_type)
+    for fmt in ("text", "markdown"):
+        got = render_spans_column(col, fmt).to_pylist()
+        want = [render_spans(d or [], fmt) for d in docs]
+        assert got == want, (fmt, got, want)

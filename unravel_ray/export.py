@@ -36,6 +36,51 @@ def render_spans(spans: list[dict], fmt: str = "text") -> str:
     return sep.join(parts)
 
 
+def render_spans_column(spans_col, fmt: str = "text") -> "pa.Array":
+    """Vectorized render_spans over a whole spans column (list<struct>):
+    flatten once, prefix heading/list_item texts with Arrow if_else
+    (markdown), drop empty texts, rebuild per-doc lists from filtered
+    parent indices, and binary_join with the format separator. Assumes
+    spans are already offset-ordered (finalize emits them sorted) —
+    identical output to per-row render_spans, pinned by
+    tests/test_export_sources.py."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    arr = spans_col.combine_chunks() if isinstance(spans_col, pa.ChunkedArray) \
+        else spans_col
+    n = len(arr)
+    values = arr.flatten()
+    text = pc.fill_null(values.field("text"), "")
+    if fmt == "markdown":
+        kind = values.field("kind")
+        text = pc.if_else(
+            pc.equal(kind, "heading"),
+            pc.binary_join_element_wise(
+                pa.array(["# "] * len(text)), text, ""),
+            pc.if_else(
+                pc.equal(kind, "list_item"),
+                pc.binary_join_element_wise(
+                    pa.array(["- "] * len(text)), text, ""),
+                text,
+            ),
+        )
+        # empty-text spans were dropped BEFORE prefixing in the row form
+        keep = pc.not_equal(pc.fill_null(values.field("text"), ""), "")
+    else:
+        keep = pc.not_equal(text, "")
+    parent = pc.list_parent_indices(arr)
+    kept_parent = parent.filter(keep).to_numpy(zero_copy_only=False)
+    kept_text = text.filter(keep)
+    counts = np.bincount(kept_parent, minlength=n) if kept_parent.size \
+        else np.zeros(n, dtype=np.int64)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    lst = pa.ListArray.from_arrays(pa.array(offsets), kept_text)
+    sep = "\n\n" if fmt == "markdown" else "\n"
+    return pc.binary_join(lst, sep)
+
+
 def export_documents(extracted: Dataset, fmt: str = "text") -> Dataset:
     """Per-doc rendered export rows: (doc_id, file_name, content, status).
 
@@ -44,21 +89,20 @@ def export_documents(extracted: Dataset, fmt: str = "text") -> Dataset:
     empty content with their status for accounting.
     """
 
+    import pyarrow.compute as pc
+
     def render(batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
-        out = {"doc_id": [], "file_name": [], "content": [], "status": []}
-        for r in rows:
-            out["doc_id"].append(r["doc_id"])
-            out["file_name"].append(docx_filename(f"{r['doc_id']}.src"))
-            out["status"].append(r["status"])
-            out["content"].append(
-                render_spans(r["spans"], fmt) if r["status"] == "completed" else ""
-            )
+        rendered = render_spans_column(batch["spans"], fmt)
+        completed = pc.equal(batch["status"], "completed")
+        content = pc.if_else(completed, rendered, pa.scalar("", pa.string()))
+        file_name = pc.binary_join_element_wise(
+            pc.cast(batch["doc_id"], pa.string()),
+            pa.array([".docx"] * batch.num_rows), "")
         return pa.table({
-            "doc_id": pa.array(out["doc_id"], pa.string()),
-            "file_name": pa.array(out["file_name"], pa.string()),
-            "content": pa.array(out["content"], pa.string()),
-            "status": pa.array(out["status"], pa.string()),
+            "doc_id": pc.cast(batch["doc_id"], pa.string()),
+            "file_name": file_name,
+            "content": content,
+            "status": batch["status"],
         })
 
     return extracted.map_batches(render, batch_format="pyarrow")

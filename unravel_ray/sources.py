@@ -86,21 +86,24 @@ def search_projection(extracted: Dataset) -> Dataset:
     elasticsearch/document/DocumentSearchIndex.java:25-111 +
     sync pipeline ElasticsearchSyncService.java:103-150): keyword fields +
     a 200-char preview of the rendered text (M15)."""
-    from .export import render_spans
+    import pyarrow.compute as pc
+
+    from .export import render_spans_column
 
     def project(batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
-        previews = []
-        for r in rows:
-            full = render_spans(r.get("spans") or [])
-            previews.append(full[:200] + "..." if len(full) > 200 else full)
+        full = render_spans_column(batch["spans"])
+        truncated = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(full, 0, 200),
+            pa.array(["..."] * batch.num_rows), "")
+        preview = pc.if_else(pc.greater(pc.utf8_length(full), 200),
+                             truncated, full)
         return pa.table({
-            "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
-            "collection_id": pa.array([r["collection_id"] for r in rows], pa.string()),
-            "status": pa.array([r["status"] for r in rows], pa.string()),
-            "provider": pa.array([r["provider"] for r in rows], pa.string()),
-            "preview": pa.array(previews, pa.string()),
-            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+            "doc_id": pc.cast(batch["doc_id"], pa.string()),
+            "collection_id": pc.cast(batch["collection_id"], pa.string()),
+            "status": pc.cast(batch["status"], pa.string()),
+            "provider": pc.cast(batch["provider"], pa.string()),
+            "preview": preview,
+            "n_chars": pc.cast(batch["n_chars"], pa.int64()),
         })
 
     return extracted.map_batches(project, batch_format="pyarrow")
