@@ -363,22 +363,20 @@ def _extract_then_neardup(sf_dir: str):
     MinHash near-dup over the EXTRACTED content (one lazy chain; the shape
     a 100 TB data-curation job runs end to end)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from unravel_ray.dedup import minhash_candidate_pairs
-    from unravel_ray.export import render_spans
+    from unravel_ray.export import render_spans_column
     from unravel_ray.pipeline import run_flagship
 
     extracted = run_flagship(sf_dir)
 
     def to_text(batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
-        ids, texts = [], []
-        for r in rows:
-            if r["status"] == "completed":
-                ids.append(int(r["doc_id"].rsplit("-", 1)[1]))
-                texts.append(render_spans(r["spans"]))
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "text": pa.array(texts, pa.string())})
+        batch = batch.filter(pc.equal(batch["status"], "completed"))
+        ids = pc.cast(pc.utf8_slice_codeunits(batch["doc_id"], 4, 99),
+                      pa.int64())
+        return pa.table({"doc_id": ids,
+                         "text": render_spans_column(batch["spans"])})
 
     corpus = extracted.map_batches(to_text, batch_format="pyarrow")
     return minhash_candidate_pairs(corpus, threshold=0.5)
