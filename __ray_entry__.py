@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_documents": R.top_documents,
         "search_content": R.search_content,
         "search_fuzzy": R.search_fuzzy,
+        "search_highlights": R.search_highlights,
         "documents_filtered": R.documents_filtered,
         "document_previews": R.document_previews,
         "customers_by_region": R.customers_by_region,
@@ -765,6 +766,40 @@ def _search_content_sql(tokens=("hash", "merge", "src3"),
     """
 
 
+def _search_highlights_sql(tokens=("hash", "merge", "src3"), weight=3,
+                           lang="en", page_size=20, window=30) -> str:
+    """Highlight snippets for the top search hits: first substring
+    occurrence p, fragment [max(0,p-window), p+len+window), token wrapped
+    <em>..</em> — pure strpos/substr/replace arithmetic matching
+    relational.search_highlights."""
+    name = ("lower('doc_' || CAST(doc_id AS VARCHAR) || '_' "
+            "|| source || '.txt')")
+    terms = " + ".join(
+        rf"len(regexp_extract_all(lower(text), '\b{t}\b'))"
+        rf" + {weight} * len(regexp_extract_all({name}, '\b{t}\b'))"
+        for t in tokens
+    )
+    toks = ", ".join(f"('{t}')" for t in tokens)
+    return f"""
+        WITH scored AS (
+          SELECT doc_id, text, CAST({terms} AS BIGINT) AS score
+          FROM documents WHERE lang = '{lang}'),
+        top AS (
+          SELECT doc_id, text FROM scored WHERE score > 0
+          ORDER BY score DESC, doc_id LIMIT {page_size}),
+        tok(token) AS (VALUES {toks}),
+        hit AS (
+          SELECT doc_id, token, text,
+                 strpos(lower(text), token) AS p,
+                 greatest(1, strpos(lower(text), token) - {window}) AS s
+          FROM top CROSS JOIN tok)
+        SELECT doc_id, token,
+               replace(substr(text, s, p - s + len(token) + {window}),
+                       token, '<em>' || token || '</em>') AS snippet
+        FROM hit WHERE p > 0
+    """
+
+
 def _search_fuzzy_sql(tokens=("hashe", "mergee"), lang="en", k=20) -> str:
     """Edit-distance<=1 token match via DuckDB's native levenshtein over
     the extracted [a-z]+ word list — verifying relational.search_fuzzy's
@@ -911,6 +946,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "search_content": _search_content_sql(),
         "search_fuzzy": _search_fuzzy_sql(),
+        "search_highlights": _search_highlights_sql(),
         "documents_filtered": """
             WITH f AS (
               SELECT doc_id, lang, source, n_chars FROM documents

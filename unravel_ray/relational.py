@@ -246,6 +246,86 @@ def search_content(sf_dir: str, query: str = "hash merge src3",
         "total_matches", pa.array([total] * out.num_rows, pa.int64()))
 
 
+def search_highlights(sf_dir: str, query: str = "hash merge src3",
+                      lang: str = "en", page_size: int = 20,
+                      window: int = 30) -> "pa.Table":
+    """Highlighted snippets for the top search hits — the reference's
+    includeHighlights=true result surface (DocumentSearchResult.java:62-65,
+    SearchRequest.java:72-75; ES fragments with <em> wrapping). The
+    deterministic analog: one row per (hit doc, query token) whose first
+    substring occurrence p yields snippet
+    ``replace(text[max(0,p-window) : p+len(tok)+window], tok,
+    '<em>'+tok+'</em>')`` — pure substring arithmetic, identical in
+    DuckDB (strpos/substr/replace).
+
+    Scale shape: same per-batch candidate top-k as search_content, but
+    candidates also carry their text — payload bounded by
+    page_size x #batches rows, never the corpus; snippets build with
+    Arrow kernels on the <= page_size merged rows.
+    """
+    import re as _re
+
+    tokens = [t for t in query.lower().split() if t]
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    schema = pa.schema([("doc_id", pa.int64()), ("score", pa.int64()),
+                        ("text", pa.string())])
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["lang"], lang))
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        low = pc.utf8_lower(batch["text"])
+        name = pc.utf8_lower(pc.binary_join_element_wise(
+            pa.array(["doc_"] * batch.num_rows),
+            pc.cast(batch["doc_id"], pa.string()),
+            pa.array(["_"] * batch.num_rows), batch["source"],
+            pa.array([".txt"] * batch.num_rows), ""))
+        s = None
+        for tok in tokens:
+            pat = rf"\b{_re.escape(tok)}\b"
+            c = pc.add(pc.count_substring_regex(low, pat),
+                       pc.multiply(pc.count_substring_regex(name, pat),
+                                   FILENAME_WEIGHT))
+            s = c if s is None else pc.add(s, c)
+        t = pa.table({
+            "doc_id": batch["doc_id"],
+            "score": pc.cast(s, pa.int64()),
+            "text": batch["text"],
+        }).filter(pc.greater(pc.cast(s, pa.int64()), 0))
+        idx = pc.sort_indices(
+            t, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+        )
+        return t.take(idx[:page_size])
+
+    candidates = ds.map_batches(score_batch, batch_format="pyarrow").take_all()
+    merged = pa.Table.from_pylist(candidates, schema=schema)
+    idx = pc.sort_indices(
+        merged, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+    )
+    top = merged.take(idx[:page_size])
+
+    # snippet assembly over the <= page_size merged rows (bounded driver
+    # work; per-row start offsets vary so there is no Arrow slice kernel)
+    out_doc, out_tok, out_snip = [], [], []
+    ids = top["doc_id"].to_pylist()
+    texts = top["text"].to_pylist()
+    for did, text in zip(ids, texts):
+        low = (text or "").lower()
+        for tok in tokens:
+            p = low.find(tok)
+            if p < 0:
+                continue
+            frag = text[max(0, p - window):p + len(tok) + window]
+            out_doc.append(did)
+            out_tok.append(tok)
+            out_snip.append(frag.replace(tok, f"<em>{tok}</em>"))
+    return pa.table({
+        "doc_id": pa.array(out_doc, pa.int64()),
+        "token": pa.array(out_tok, pa.string()),
+        "snippet": pa.array(out_snip, pa.string()),
+    })
+
+
 def _lev1_pattern(tok: str) -> str:
     """RE2 whole-word pattern matching exactly the strings at Levenshtein
     distance <= 1 from ``tok`` over [a-z]: exact + one substitution +
