@@ -193,3 +193,23 @@ def test_extract_publish_recovers_from_interrupted_write(ray_session, tmp_path):
         assert json.load(f)["n_rows"] == 30
     want = build_extraction(ray.data.from_arrow(corpus), cfg).take_all()
     assert {r["doc_id"] for r in pub} == {r["doc_id"] for r in want}
+
+
+def test_flagship_core_plan_has_no_shuffle(ray_session):
+    """The scale property the engine is built around: the default
+    extraction plan is ONE fused task chain — no AllToAll (sort/shuffle/
+    aggregate) operator anywhere between read and write. Regression-pins
+    the r1 finding that reassembly via groupby/sort moves payload at
+    ~16 MB/s."""
+    from unravel_ray.config import PipelineConfig
+    from unravel_ray.pipeline import _build_extraction_core
+    from unravel_ray.synth import corpus_dataset
+
+    ds = _build_extraction_core(corpus_dataset(200, block_size=50),
+                                PipelineConfig())
+    n = 0
+    for batch in ds.iter_batches(batch_size=256, batch_format="pyarrow"):
+        n += batch.num_rows
+    assert n == 200
+    stats = ds.stats()
+    assert "AllToAll" not in stats, stats
