@@ -51,6 +51,24 @@ def _consume(result) -> int:
     return len(result)
 
 
+def _host_probe() -> float:
+    """Engine-independent memory-bandwidth weather probe: best-of-3
+    2000x2000 matmul seconds. ~0.15-0.3 s on healthy hardware; >0.5 s
+    means a degraded co-tenant window where ALL wall times inflate
+    (BASELINE.md §D3) — interpret absolute numbers accordingly."""
+    import time as _t
+
+    import numpy as _np
+
+    a = _np.random.rand(2000, 2000)
+    best = float("inf")
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        a @ a
+        best = min(best, _t.perf_counter() - t0)
+    return round(best, 3)
+
+
 def run_bench() -> dict:
     import ray
 
@@ -141,6 +159,7 @@ def run_bench() -> dict:
         "queries": timings,
         "sf": sf_dir,
         "num_cpus": num_cpus,
+        "host_probe_matmul_sec": _host_probe(),
         "flagship_docs": n_docs,
         "flagship_docs_per_sec": round(n_docs / timings["flagship_extract"], 2)
         if timings.get("flagship_extract") else None,
