@@ -155,6 +155,12 @@ def test_pack_sequences_layout(ray_session):
            for r in pack_sequences(ds, seq_len=5, seg_size=2).take_all()}
     assert out == {0: (0, 0, 3), 1: (0, 3, 0), 2: (0, 3, 4), 3: (1, 2, 1)}
 
+    # layout is invariant to segment width — the adaptive default
+    # (seg_size derived from the metadata row count) must agree
+    auto = {r["doc_id"]: (r["pack_id"], r["pack_offset"], r["n_tokens"])
+            for r in pack_sequences(ds, seq_len=5).take_all()}
+    assert auto == out
+
 
 def test_vocab_top_words_rank_and_ties(ray_session):
     import pyarrow as pa

@@ -247,7 +247,8 @@ def scrub_pii(ds: Dataset, text_col: str = "text") -> Dataset:
 
 def pack_sequences(ds: Dataset, seq_len: int = 2048,
                    id_col: str = "doc_id", text_col: str = "text",
-                   seg_size: int = 1024) -> Dataset:
+                   seg_size: int | None = None,
+                   max_driver_segments: int = 1_000_000) -> Dataset:
     """Assign each doc to a fixed-token-budget training pack.
 
     Spec (deterministic, engine-independent): docs are laid out in
@@ -259,13 +260,26 @@ def pack_sequences(ds: Dataset, seq_len: int = 2048,
     Scale shape — a GLOBAL running sum without a global sort: docs bucket
     into fixed ``seg_size`` id segments; a slim groupby yields per-segment
     token totals; the driver folds those into per-segment prefix offsets
-    (one int per 1024 docs — at 10^12 docs raise seg_size or add one more
-    folding level, same trick recursively) and broadcasts them; each
-    segment group (bounded, co-located, skew-free by construction) then
-    computes its local cumsum + prefix. Only (segment, n_tokens) ints
-    ride the shuffles.
+    and broadcasts them; each segment group (bounded, co-located,
+    skew-free by construction) then computes its local cumsum + prefix.
+    Only (segment, n_tokens) ints ride the shuffles.
+
+    ``seg_size=None`` (default) derives the segment width from the
+    input's metadata row count so the driver never holds more than
+    ~``max_driver_segments`` prefix ints (one int per segment) — at
+    10^12 dense ids that is seg_size=10^6, a 1M-entry dict; beyond
+    that, add one more folding level (same trick recursively).
+    Derivation assumes roughly dense ids (segment = id // seg_size);
+    pass an explicit ``seg_size`` for sparse id spaces.
     """
     import ray
+
+    from .relational import _estimated_rows
+
+    if seg_size is None:
+        est = _estimated_rows(ds)
+        seg_size = (1024 if est is None
+                    else max(1024, -(-est // max_driver_segments)))
 
     def tokens(batch: pa.Table) -> pa.Table:
         n_tok = pc.cast(pc.count_substring_regex(
