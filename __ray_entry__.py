@@ -443,15 +443,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _token_stats,
         "pack_sequences": _pack_sequences,
         "vocab_top_words": _vocab_top_words,
-        # -------- no_oracle tail (hash/approximate/binary shapes) --------
+        # P31 universal-hash family: signatures/buckets reproduced verbatim
+        # by DuckDB (see _minhash_base_cte and friends)
         "minhash_pairs": _minhash_pairs,
+        "minhash_clusters": _minhash_clusters,
         "simhash_pairs": _simhash_pairs,
+        "fingerprints": _fingerprints,
+        # -------- no_oracle tail (approximate ANN / binary shapes) -------
         "lsh_topk": _lsh_topk,
         "ivf_topk": _ivf_topk,
         "ivf_index_topk": _ivf_index_topk,
-        "fingerprints": _fingerprints,
         "image_decode": _image_decode,
-        "minhash_clusters": _minhash_clusters,
         "extract_then_neardup": _extract_then_neardup,
         "export_docx": _export_docx,
     }
@@ -820,6 +822,144 @@ def _search_fuzzy_sql(tokens=("hashe", "mergee"), lang="en", k=20) -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# near-dup hash-family oracles — the minhash/simhash/fingerprint operators use
+# universal hashing mod P31 = 2^31-1 (see unravel_ray/dedup.py): every step is
+# exact in BIGINT, so DuckDB reproduces signatures, band buckets, simhashes
+# and winnowing fingerprints VERBATIM (validated row-for-row at sf0.001 and
+# sf0.01 before wiring in). The permutation constants are embedded as
+# literals from the same seeded generator the Ray stage uses.
+# ---------------------------------------------------------------------------
+
+def _minhash_base_cte() -> str:
+    """CTE chain: words -> word hashes (char fold base 131) -> width-3
+    shingle hashes -> 64-perm minhash signatures -> 16 band-hash folds ->
+    LSH candidate pairs with signature-estimated Jaccard."""
+    from unravel_ray.dedup import _perm_params
+
+    a, b = _perm_params(64)
+    pa_lit = "[" + ",".join(str(x) for x in a) + "]"
+    pb_lit = "[" + ",".join(str(x) for x in b) + "]"
+    return rf"""
+        WITH RECURSIVE params AS (SELECT {pa_lit}::BIGINT[] AS pa, {pb_lit}::BIGINT[] AS pb),
+        w AS (SELECT doc_id,
+                list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                            x -> x <> '') AS ws
+              FROM documents),
+        wh AS (SELECT doc_id,
+                list_transform(ws, w -> list_reduce(
+                   list_transform(range(1, length(w)+1), i -> ascii(substr(w, i, 1))::BIGINT),
+                   (acc, c) -> (acc*131 + c) % 2147483647)) AS h,
+                len(ws) AS nw
+              FROM w),
+        sh AS (SELECT doc_id,
+                CASE WHEN nw = 0 THEN []::BIGINT[]
+                     WHEN nw < 3 THEN [list_reduce(h, (acc, x) -> (acc*1000003 + x) % 2147483647)]
+                     ELSE list_transform(range(1, nw - 1), i ->
+                          (((h[i]*1000003 + h[i+1]) % 2147483647) * 1000003 + h[i+2]) % 2147483647)
+                END AS sgl
+               FROM wh),
+        sig AS (SELECT doc_id,
+                CASE WHEN len(sgl) = 0
+                     THEN list_transform(range(1, 65), k -> 0::BIGINT)
+                     ELSE list_transform(range(1, 65), k ->
+                          list_min(list_transform(sgl, x -> (pa[k]*x + pb[k]) % 2147483647)))
+                END AS s
+               FROM sh, params),
+        banded AS (SELECT doc_id, band,
+                list_reduce(list_transform(range(band*4 + 1, band*4 + 5), i -> s[i]),
+                            (acc, x) -> (acc*1000003 + x) % 2147483647) AS band_hash
+               FROM sig, range(0, 16) t(band)),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM banded x JOIN banded y
+                 ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+        pairs AS (SELECT c.a, c.b,
+                list_sum(list_transform(range(1, 65),
+                    k -> CASE WHEN sa.s[k] = sb.s[k] THEN 1 ELSE 0 END)) / 64.0 AS est_jaccard
+               FROM cand c JOIN sig sa ON sa.doc_id = c.a JOIN sig sb ON sb.doc_id = c.b)
+    """
+
+
+def _minhash_pairs_sql(threshold: float = 0.5) -> str:
+    return _minhash_base_cte() + f"""
+        SELECT a, b, est_jaccard FROM pairs WHERE est_jaccard >= {threshold}
+    """
+
+
+def _minhash_clusters_sql(threshold: float = 0.5) -> str:
+    """Connected components over the LSH pair graph via a recursive-CTE
+    reachability closure (min reachable id == cluster label) — the SQL twin
+    of minhash_dedup's union-find / distributed label propagation."""
+    return _minhash_base_cte() + f"""
+        , edges AS (SELECT a, b FROM pairs WHERE est_jaccard >= {threshold}
+                    UNION ALL
+                    SELECT b, a FROM pairs WHERE est_jaccard >= {threshold}),
+        cc AS (SELECT doc_id AS node, doc_id AS r FROM documents
+               UNION
+               SELECT c.node, e.b FROM cc c JOIN edges e ON e.a = c.r)
+        SELECT node AS doc_id, min(r) AS cluster_id FROM cc GROUP BY node
+    """
+
+
+def _simhash_pairs_sql(max_hamming: int = 6) -> str:
+    """62-bit SimHash (two char folds, bases 131/137, packed h1 + h2<<31;
+    every word occurrence votes +-1 per bit) + brute-force hamming join.
+    The Ray pipeline's pigeonhole block tables are complete for
+    hamming <= max_hamming, so blocked output == brute force (also pinned
+    by tests/test_dedup.py's blocked-vs-bruteforce test)."""
+    return rf"""
+        WITH w AS (SELECT doc_id,
+                list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                            x -> x <> '') AS ws
+              FROM documents),
+        wh AS (SELECT doc_id,
+                list_transform(ws, w ->
+                  list_reduce(list_transform(range(1, length(w)+1), i -> ascii(substr(w, i, 1))::BIGINT),
+                              (acc, c) -> (acc*131 + c) % 2147483647)
+                  + (list_reduce(list_transform(range(1, length(w)+1), i -> ascii(substr(w, i, 1))::BIGINT),
+                              (acc, c) -> (acc*137 + c) % 2147483647) << 31)) AS hs,
+                len(ws) AS nw
+              FROM w),
+        sim AS (SELECT doc_id,
+                CASE WHEN nw = 0 THEN 0::BIGINT
+                     ELSE list_sum(list_transform(range(0, 62), j ->
+                        CASE WHEN list_sum(list_transform(hs, h -> ((h >> j) & 1)*2 - 1)) > 0
+                             THEN (1::BIGINT << j) ELSE 0::BIGINT END))
+                END AS h
+               FROM wh)
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(bit_count(xor(x.h, y.h)) AS INTEGER) AS hamming
+        FROM sim x JOIN sim y ON x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.h, y.h)) <= {max_hamming}
+    """
+
+
+def _fingerprints_sql(window: int = 8) -> str:
+    """Winnowing fingerprint: min of polynomial width-8 window folds over
+    the word-hash sequence (min word hash when the doc is shorter than the
+    window), rendered %016x."""
+    return rf"""
+        WITH w AS (SELECT doc_id,
+                list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
+                            x -> x <> '') AS ws
+              FROM documents),
+        wh AS (SELECT doc_id,
+                list_transform(ws, w -> list_reduce(
+                   list_transform(range(1, length(w)+1), i -> ascii(substr(w, i, 1))::BIGINT),
+                   (acc, c) -> (acc*131 + c) % 2147483647)) AS h,
+                len(ws) AS nw
+              FROM w)
+        SELECT doc_id,
+          CASE WHEN nw = 0 THEN '0000000000000000'
+               WHEN nw <= {window} THEN printf('%016x', list_min(h))
+               ELSE printf('%016x', list_min(list_transform(range(1, nw - {window - 2}), i ->
+                    list_reduce(list_transform(range(i, i + {window}), j -> h[j]),
+                                (acc, x) -> (acc*1000003 + x) % 2147483647))))
+          END AS fingerprint
+        FROM wh
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     th = _bridge_thresholds()
     return {
@@ -1094,6 +1234,10 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS doc_id
             FROM documents GROUP BY 1
         """,
+        "minhash_pairs": _minhash_pairs_sql(),
+        "minhash_clusters": _minhash_clusters_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
+        "fingerprints": _fingerprints_sql(),
         "docs_with_ocr_status": """
             SELECT doc_id, n_chars,
                    CASE WHEN n_chars % 3 = 0 THEN 'pending'

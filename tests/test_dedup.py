@@ -14,7 +14,7 @@ from unravel_ray.dedup import (
     minhash_dedup,
     minhash_signature,
     ngram_jaccard,
-    simhash64,
+    simhash62,
     simhash_buckets,
     verify_pairs_jaccard,
 )
@@ -75,10 +75,10 @@ def test_jaccard_verification_filters(ray_session):
 
 
 def test_simhash_near_and_far():
-    h1, h2, h3 = simhash64(BASE), simhash64(NEAR), simhash64(OTHER)
+    h1, h2, h3 = simhash62(BASE), simhash62(NEAR), simhash62(OTHER)
     assert bin(h1 ^ h2).count("1") <= 8
     assert bin(h1 ^ h3).count("1") > 12
-    assert simhash64(BASE) == h1  # deterministic
+    assert simhash62(BASE) == h1  # deterministic
 
 
 def test_simhash_buckets_find_planted_pair(ray_session):
@@ -130,9 +130,7 @@ def test_minhash_stage_vectorized_matches_per_doc_reference():
     """The batched signature kernel (flat concat + reduceat + in-place
     scratch) must be byte-identical to the naive per-doc form — bucket
     assignment and candidate output depend on it."""
-    import hashlib
-
-    from unravel_ray.dedup import MERSENNE, MinHashStage, _shingle_hashes
+    from unravel_ray.dedup import P31, _POLY31, MinHashStage, _shingle_hashes
 
     stage = MinHashStage()
     texts = [BASE, "", NEAR, None, OTHER, "a b",
@@ -144,18 +142,21 @@ def test_minhash_stage_vectorized_matches_per_doc_reference():
     for did, text in zip(ids, texts):
         h = _shingle_hashes(text)
         if h.size == 0:
-            sig = np.zeros(stage.num_perm, dtype=np.uint64)
+            sig = np.zeros(stage.num_perm, dtype=np.int64)
         else:
-            vals = (stage.a[:, None] * h[None, :] + stage.b[:, None]) % MERSENNE
-            sig = vals.min(axis=1).astype(np.uint64)
+            vals = (stage.a[:, None] * h[None, :] + stage.b[:, None]) % P31
+            sig = vals.min(axis=1)
         for band in range(stage.bands):
             chunk = sig[band * stage.rows_per_band:(band + 1) * stage.rows_per_band]
+            bh = 0
+            for v in chunk:
+                bh = (bh * int(_POLY31) + int(v)) % P31
             out_band.append(band)
-            out_hash.append(hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest())
+            out_hash.append(bh)
             out_id.append(did)
             out_sig.append(sig.tobytes())
     ref = pa.table({"band": pa.array(out_band, pa.int32()),
-                    "band_hash": pa.array(out_hash, pa.string()),
+                    "band_hash": pa.array(out_hash, pa.int64()),
                     "id": pa.array(out_id, pa.int64()),
                     "sig": pa.array(out_sig, pa.binary())})
     assert stage(batch).equals(ref)
@@ -253,7 +254,7 @@ def test_blocked_grouping_matches_per_bucket_reference(ray_session):
 def test_simhash_blocked_matches_bruteforce(ray_session):
     """Pigeonhole + blocked grouping must find EXACTLY the pairs a brute
     force all-pairs hamming scan finds at the same threshold."""
-    from unravel_ray.dedup import simhash64
+    from unravel_ray.dedup import simhash62
 
     texts = {i: (BASE if i % 4 == 0 else NEAR if i % 4 == 1 else
                  OTHER if i % 4 == 2 else BASE.replace("dog", "cat"))
@@ -262,7 +263,7 @@ def test_simhash_blocked_matches_bruteforce(ray_session):
         [{"doc_id": i, "text": t} for i, t in texts.items()])).repartition(4)
     got = {(r["a"], r["b"], r["hamming"])
            for r in simhash_buckets(ds, max_hamming=6).take_all()}
-    hs = {i: simhash64(t) for i, t in texts.items()}
+    hs = {i: simhash62(t) for i, t in texts.items()}
     want = set()
     for a in texts:
         for b in texts:

@@ -6,7 +6,7 @@ import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from unravel_ray.dedup import minhash_signature, ngram_jaccard, simhash64
+from unravel_ray.dedup import minhash_signature, ngram_jaccard, simhash62
 from unravel_ray.html_extract import extract_html_spans, split_plain_text
 from unravel_ray.pages import PageSelectionError, resolve_pages
 from unravel_ray.pdftext import join_direct, join_ocr, needs_ocr_mode
@@ -193,9 +193,9 @@ def test_jaccard_bounds_and_symmetry(t1, t2):
 @given(doc_text)
 @settings(max_examples=100, deadline=None)
 def test_simhash_in_range_and_stable(text):
-    h = simhash64(text)
-    assert 0 <= h < (1 << 64)
-    assert simhash64(text) == h
+    h = simhash62(text)
+    assert 0 <= h < (1 << 62)
+    assert simhash62(text) == h
 
 
 # richer soup for the fast-parser differential: quotes, slashes, attrs,

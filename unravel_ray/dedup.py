@@ -34,7 +34,15 @@ import ray.data
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
-MERSENNE = (1 << 61) - 1
+# All near-dup hash arithmetic is universal hashing mod P31 = 2^31-1 (a
+# Mersenne prime) in int64: products of two mod-P31 values stay < 2^62, so
+# every step is EXACT in both numpy int64 and ANSI-SQL BIGINT — the whole
+# minhash/simhash/fingerprint family is reproducible verbatim by the DuckDB
+# oracles in __ray_entry__ (no blake2b / wraparound opacity).
+P31 = (1 << 31) - 1
+_POLY31 = 1000003   # word/shingle/band polynomial-fold base
+_CHAR_B = 131       # character-fold base for word hashes
+_CHAR_B2 = 137      # second base: simhash's upper 31 feature bits
 
 
 def _md5(s: str) -> str:
@@ -70,60 +78,63 @@ def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
 # ---------------------------------------------------------------------------
 
 _WORD_HASH_CACHE: dict[str, int] = {}
-_POLY = np.uint64(1099511628211)  # FNV prime; shingle hash = poly-combine of word hashes
 
 
-def _word_hash(w: str) -> int:
-    h = _WORD_HASH_CACHE.get(w)
+def _word_hash(w: str, base: int = _CHAR_B) -> int:
+    """Polynomial character fold mod P31 (acc = acc*base + codepoint),
+    cached per worker. SQL twin: list_reduce over ascii(substr(w,i,1))."""
+    key = (w, base) if base != _CHAR_B else w
+    h = _WORD_HASH_CACHE.get(key)
     if h is None:
         if len(_WORD_HASH_CACHE) > 1_000_000:
             _WORD_HASH_CACHE.clear()  # bound worker memory
-        h = _WORD_HASH_CACHE[w] = int.from_bytes(
-            hashlib.blake2b(w.encode(), digest_size=8).digest(), "big"
-        )
+        h = 0
+        for c in w:
+            h = (h * base + ord(c)) % P31
+        _WORD_HASH_CACHE[key] = h
     return h
 
 
 def _shingle_hashes(text: str, width: int = 3) -> np.ndarray:
-    """Word-shingle 64-bit hashes.
+    """Word-shingle hashes in [0, P31), int64.
 
-    Vectorized: each word hashed once (worker-cached blake2b), shingle
-    hash = polynomial combination over the sliding window (uint64 wrap) —
-    no per-shingle string building or digesting. Deterministic.
+    Vectorized: each word hashed once (worker-cached char fold), shingle
+    hash = polynomial fold mod P31 over the sliding window — no
+    per-shingle string building. Exact in int64 (products < 2^62).
     """
     words = (text or "").lower().split()
     if not words:
-        return np.empty(0, dtype=np.uint64)
-    wh = np.fromiter((_word_hash(w) for w in words), dtype=np.uint64, count=len(words))
+        return np.empty(0, dtype=np.int64)
+    wh = np.fromiter((_word_hash(w) for w in words), dtype=np.int64, count=len(words))
     if len(words) < width:
-        with np.errstate(over="ignore"):
-            h = np.uint64(0)
-            for x in wh:
-                h = h * _POLY + x  # uint64 wrap intended
-        return np.array([h], dtype=np.uint64)
+        h = np.int64(0)
+        for x in wh:
+            h = (h * _POLY31 + x) % P31
+        return np.array([h], dtype=np.int64)
     n = len(words) - width + 1
-    acc = np.zeros(n, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for j in range(width):
-            acc = acc * _POLY + wh[j:j + n]
+    acc = np.zeros(n, dtype=np.int64)
+    for j in range(width):
+        acc *= _POLY31
+        acc += wh[j:j + n]
+        acc %= P31
     return acc
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    a = rng.randint(1, P31, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, P31, size=num_perm, dtype=np.int64)
     return a, b
 
 
 def minhash_signature(text: str, num_perm: int = 64, seed: int = 42) -> np.ndarray:
     h = _shingle_hashes(text)
     if h.size == 0:
-        return np.zeros(num_perm, dtype=np.uint64)
+        return np.zeros(num_perm, dtype=np.int64)
     a, b = _perm_params(num_perm, seed)
     # (a*h + b) mod p, vectorized K x n then min over shingles
-    vals = (a[:, None] * h[None, :] + b[:, None]) % MERSENNE
-    return vals.min(axis=1).astype(np.uint64)
+    vals = (a[:, None] * h[None, :] + b[:, None]) % P31
+    return vals.min(axis=1)
 
 
 class MinHashStage:
@@ -153,11 +164,11 @@ class MinHashStage:
             # zeros, not empty: calloc-backed pages fault ~100x cheaper on
             # this host than malloc-backed ones (measured 0.09 s vs 9 s per
             # 150 MB), and this allocation happens once per fresh worker
-            self._scratch = np.zeros((self.num_perm, cap), dtype=np.uint64)
+            self._scratch = np.zeros((self.num_perm, cap), dtype=np.int64)
         buf = self._scratch[:, :s]
         np.multiply(self.a[:, None], flat[None, :], out=buf)
         buf += self.b[:, None]
-        buf %= np.uint64(MERSENNE)
+        buf %= P31
         return buf
 
     def _signatures(self, texts: list) -> np.ndarray:
@@ -168,14 +179,14 @@ class MinHashStage:
         elementwise-identical to the per-doc form (same ops, same dtypes),
         pinned by tests/test_dedup.py's old-vs-new equality test."""
         n = len(texts)
-        sigs = np.zeros((n, self.num_perm), dtype=np.uint64)
+        sigs = np.zeros((n, self.num_perm), dtype=np.int64)
         shingles = [_shingle_hashes(t) for t in texts]
         counts = np.array([s.size for s in shingles], dtype=np.int64)
         cap_s = self._SLICE_ENTRIES // self.num_perm
         # whale doc whose shingles alone exceed the scratch: fold chunk
         # minima (min over a partition of the shingles == min over all)
         for i in np.flatnonzero(counts > cap_s):
-            acc = np.full(self.num_perm, np.iinfo(np.uint64).max, np.uint64)
+            acc = np.full(self.num_perm, np.iinfo(np.int64).max, np.int64)
             h = shingles[i]
             for lo in range(0, h.size, cap_s):
                 np.minimum(acc, self._kernel(h[lo:lo + cap_s]).min(axis=1),
@@ -197,7 +208,7 @@ class MinHashStage:
             offs = np.zeros(idx.size, dtype=np.int64)
             np.cumsum(counts[idx[:-1]], out=offs[1:])
             mins = np.minimum.reduceat(vals, offs, axis=1)  # (K, docs)
-            sigs[idx] = mins.T.astype(np.uint64)
+            sigs[idx] = mins.T
             lo = hi
         return sigs
 
@@ -206,20 +217,22 @@ class MinHashStage:
         texts = batch[self.text_col].to_pylist()
         n = len(texts)
         sigs = self._signatures(texts)
-        sig_bytes = [s.tobytes() for s in sigs]
         r = self.rows_per_band
-        # band hashes stay blake2b over the exact same chunk bytes (bucket
-        # assignment — and therefore candidate output — is unchanged)
-        out_hash = [
-            hashlib.blake2b(sig_bytes[i][band * r * 8:(band + 1) * r * 8],
-                            digest_size=8).hexdigest()
-            for i in range(n) for band in range(self.bands)
-        ]
+        # band hash = polynomial fold mod P31 over the band's r signature
+        # values — vectorized across (docs, bands), int64-exact, and
+        # reproducible in the DuckDB oracle (8-byte key vs 16-char hex too)
+        chunks = sigs.reshape(n, self.bands, r)
+        bh = np.zeros((n, self.bands), dtype=np.int64)
+        for j in range(r):
+            bh *= _POLY31
+            bh += chunks[:, :, j]
+            bh %= P31
+        sig_bytes = [s.tobytes() for s in sigs]
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), self.bands)
         return pa.table(
             {
                 "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
-                "band_hash": pa.array(out_hash, pa.string()),
+                "band_hash": pa.array(bh.reshape(-1)),
                 "id": batch[self.id_col].take(pa.array(doc_idx)),
                 "sig": pa.array([sig_bytes[i] for i in doc_idx], pa.binary()),
             }
@@ -234,7 +247,7 @@ def _bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
     if group.num_rows < 2:
         return empty
     ids = group["id"].to_pylist()
-    sigs = [np.frombuffer(s, dtype=np.uint64) for s in group["sig"].to_pylist()]
+    sigs = [np.frombuffer(s, dtype=np.int64) for s in group["sig"].to_pylist()]
     a_out, b_out, j_out = [], [], []
     _run_pairs(ids, sigs, range(len(ids)), threshold, a_out, b_out, j_out)
     if not a_out:
@@ -275,7 +288,7 @@ def _blocked_bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
         return empty
     t = group.sort_by([("band", "ascending"), ("band_hash", "ascending")])
     band = t["band"].to_numpy(zero_copy_only=False)
-    bh = np.asarray(t["band_hash"].to_pylist())
+    bh = t["band_hash"].to_numpy(zero_copy_only=False)
     change = np.flatnonzero((band[1:] != band[:-1]) | (bh[1:] != bh[:-1])) + 1
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [band.shape[0]]))
@@ -290,7 +303,7 @@ def _blocked_bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
         idxs = range(int(starts[r]), int(ends[r]))
         for i in idxs:
             if sigs[i] is None:
-                sigs[i] = np.frombuffer(sig_col[i], dtype=np.uint64)
+                sigs[i] = np.frombuffer(sig_col[i], dtype=np.int64)
         _run_pairs(ids, sigs, idxs, threshold, a_out, b_out, j_out)
     if not a_out:
         return empty
@@ -307,15 +320,13 @@ def minhash_candidate_pairs(ds: Dataset, threshold: float = 0.8, num_perm: int =
                             n_blocks: int = 64) -> Dataset:
     """Near-duplicate candidate pairs (a < b) with estimated Jaccard >= threshold.
 
-    The shuffle key is crc32(band_hash) % n_blocks — a FIXED group count —
-    not the raw (band, band_hash): rows of the same LSH bucket still
+    The shuffle key is band_hash % n_blocks — a FIXED group count — not
+    the raw (band, band_hash): rows of the same LSH bucket still
     co-locate (equal hash -> equal block), but per-group scheduling no
     longer scales with docs x bands; equal-hash runs are recovered
     vectorized inside each block (_blocked_bucket_pairs). Identical pair
     output to the per-bucket grouping, pinned by test_dedup.
     """
-    import zlib as _z
-
     # TASK mode with a per-worker stage cache: MinHashStage state (perm
     # params + scratch buffer) is cheap to build once per worker process,
     # and a dedicated actor pool costs ~6 s of spin-up/ramp PER EXECUTION
@@ -344,11 +355,9 @@ def minhash_candidate_pairs(ds: Dataset, threshold: float = 0.8, num_perm: int =
         )
 
     def add_block(t: pa.Table) -> pa.Table:
-        blocks = pa.array(
-            [_z.crc32(h.encode()) % n_blocks for h in t["band_hash"].to_pylist()],
-            pa.int32(),
-        )
-        return t.append_column("block", blocks)
+        # band_hash is already a uniform mod-P31 fold; plain modulo blocks
+        blocks = t["band_hash"].to_numpy(zero_copy_only=False) % n_blocks
+        return t.append_column("block", pa.array(blocks.astype(np.int32)))
 
     pairs = (
         banded.map_batches(add_block, batch_format="pyarrow")
@@ -481,25 +490,34 @@ def propagate_min_labels(edges: Dataset, n_rounds: int = 8) -> Dataset:
 # SimHash near-dup
 # ---------------------------------------------------------------------------
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (deterministic blake2b feature hash)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for w in (text or "").lower().split():
-        hb = hashlib.blake2b(w.encode(), digest_size=8).digest()
-        bits = np.unpackbits(np.frombuffer(hb, dtype=np.uint8), bitorder="little").astype(np.int64)
-        acc += 2 * bits - 1
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+SIMHASH_BITS = 62
+
+
+def simhash62(text: str) -> int:
+    """62-bit SimHash over word features.
+
+    Feature hash = two polynomial char folds mod P31 (bases 131/137)
+    packed as ``h1 + h2·2^31`` — bits 0-30 from the first fold, 31-61
+    from the second; every occurrence of a word votes ±1 per bit.
+    Exact int64 arithmetic, reproducible by the DuckDB oracle.
+    """
+    words = (text or "").lower().split()
+    if not words:
+        return 0
+    wh = np.fromiter(
+        (_word_hash(w) + (_word_hash(w, _CHAR_B2) << 31) for w in words),
+        dtype=np.int64, count=len(words))
+    bits = (wh[:, None] >> np.arange(SIMHASH_BITS, dtype=np.int64)) & 1
+    votes = (2 * bits - 1).sum(axis=0)
+    return int(((votes > 0).astype(np.int64)
+                << np.arange(SIMHASH_BITS, dtype=np.int64)).sum())
 
 
 def simhash_buckets(ds: Dataset, n_tables: int | None = None, text_col: str = "text",
                     id_col: str = "doc_id", max_hamming: int = 3) -> Dataset:
     """SimHash near-dup candidate pairs.
 
-    Pigeonhole guarantee: splitting the 64-bit hash into ``k`` blocks
+    Pigeonhole guarantee: splitting the 62-bit hash into ``k`` blocks
     guarantees that any pair with hamming distance <= k-1 agrees on at
     least one whole block, so ``n_tables`` defaults to ``max_hamming + 1``
     (never fewer — a caller-supplied smaller value is raised on, it would
@@ -513,9 +531,9 @@ def simhash_buckets(ds: Dataset, n_tables: int | None = None, text_col: str = "t
             f"n_tables={n_tables} cannot guarantee hamming<={max_hamming}; "
             f"need at least {required} blocks (pigeonhole)"
         )
-    # contiguous block boundaries over the 64 bits (first blocks get the
+    # contiguous block boundaries over the hash bits (first blocks get the
     # remainder bit)
-    base, rem = divmod(64, n_tables)
+    base, rem = divmod(SIMHASH_BITS, n_tables)
     widths = [base + (1 if t < rem else 0) for t in range(n_tables)]
     starts = [sum(widths[:t]) for t in range(n_tables)]
 
@@ -524,7 +542,7 @@ def simhash_buckets(ds: Dataset, n_tables: int | None = None, text_col: str = "t
         texts = batch[text_col].to_pylist()
         t_out, k_out, i_out, h_out = [], [], [], []
         for did, text in zip(ids, texts):
-            h = simhash64(text)
+            h = simhash62(text)
             for t in range(n_tables):
                 k_out.append((h >> starts[t]) & ((1 << widths[t]) - 1))
                 t_out.append(t)
@@ -534,7 +552,7 @@ def simhash_buckets(ds: Dataset, n_tables: int | None = None, text_col: str = "t
             "tbl": pa.array(t_out, pa.int32()),
             "key": pa.array(k_out, pa.int64()),
             "id": pa.array(i_out),
-            "simhash": pa.array([x - (1 << 63) for x in h_out], pa.int64()),  # signed store
+            "simhash": pa.array(h_out, pa.int64()),  # 62-bit fits signed
         })
 
     def _pairs_in_run(ids, hs, idxs, a_o, b_o, d_o) -> None:
@@ -568,7 +586,7 @@ def simhash_buckets(ds: Dataset, n_tables: int | None = None, text_col: str = "t
         if multi.size == 0:
             return empty
         ids = t["id"].to_pylist()
-        hs = [x + (1 << 63) for x in t["simhash"].to_pylist()]
+        hs = t["simhash"].to_pylist()
         a_o, b_o, d_o = [], [], []
         for r in multi:
             _pairs_in_run(ids, hs, range(int(starts[r]), int(ends[r])),

@@ -170,25 +170,27 @@ def token_counts(ds: Dataset, text_col: str = "text") -> Dataset:
 
 def fingerprint64(text: str, window: int = 8) -> str:
     """Winnowing-style document fingerprint: min rolling hash over word
-    windows, hex-encoded. Deterministic; robust to small edits outside the
-    minimal window."""
+    windows, 16-hex-char rendering. Deterministic; robust to small edits
+    outside the minimal window. Word and window hashes are polynomial
+    folds mod P31 (exact int64 — see dedup.P31), so the DuckDB oracle
+    reproduces the value verbatim."""
+    from .dedup import P31, _POLY31, _word_hash
+
     words = (text or "").lower().split()
     if not words:
         return "0" * 16
-    hashes = [
-        int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-        for w in words
-    ]
+    hashes = np.fromiter((_word_hash(w) for w in words),
+                         dtype=np.int64, count=len(words))
     if len(hashes) <= window:
-        combined = min(hashes)
+        combined = int(hashes.min())
     else:
-        acc = []
-        for i in range(len(hashes) - window + 1):
-            h = 0
-            for j in range(window):
-                h = (h * 1099511628211 + hashes[i + j]) % (1 << 64)
-            acc.append(h)
-        combined = min(acc)
+        n = len(hashes) - window + 1
+        acc = np.zeros(n, dtype=np.int64)
+        for j in range(window):
+            acc *= _POLY31
+            acc += hashes[j:j + n]
+            acc %= P31
+        combined = int(acc.min())
     return f"{combined:016x}"
 
 
