@@ -449,12 +449,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": _minhash_clusters,
         "simhash_pairs": _simhash_pairs,
         "fingerprints": _fingerprints,
+        "extract_then_neardup": _extract_then_neardup,
         # -------- no_oracle tail (approximate ANN / binary shapes) -------
         "lsh_topk": _lsh_topk,
         "ivf_topk": _ivf_topk,
         "ivf_index_topk": _ivf_index_topk,
         "image_decode": _image_decode,
-        "extract_then_neardup": _extract_then_neardup,
         "export_docx": _export_docx,
     }
 
@@ -831,21 +831,22 @@ def _search_fuzzy_sql(tokens=("hashe", "mergee"), lang="en", k=20) -> str:
 # literals from the same seeded generator the Ray stage uses.
 # ---------------------------------------------------------------------------
 
-def _minhash_base_cte() -> str:
-    """CTE chain: words -> word hashes (char fold base 131) -> width-3
-    shingle hashes -> 64-perm minhash signatures -> 16 band-hash folds ->
-    LSH candidate pairs with signature-estimated Jaccard."""
+def _minhash_base_cte(source: str = "documents") -> str:
+    """CTE chain over a (doc_id, text) relation: words -> word hashes
+    (char fold base 131) -> width-3 shingle hashes -> 64-perm minhash
+    signatures -> 16 band-hash folds -> LSH candidate pairs with
+    signature-estimated Jaccard."""
     from unravel_ray.dedup import _perm_params
 
     a, b = _perm_params(64)
     pa_lit = "[" + ",".join(str(x) for x in a) + "]"
     pb_lit = "[" + ",".join(str(x) for x in b) + "]"
     return rf"""
-        WITH RECURSIVE params AS (SELECT {pa_lit}::BIGINT[] AS pa, {pb_lit}::BIGINT[] AS pb),
+        params AS (SELECT {pa_lit}::BIGINT[] AS pa, {pb_lit}::BIGINT[] AS pb),
         w AS (SELECT doc_id,
                 list_filter(string_split_regex(lower(coalesce(text,'')), '\s+'),
                             x -> x <> '') AS ws
-              FROM documents),
+              FROM {source}),
         wh AS (SELECT doc_id,
                 list_transform(ws, w -> list_reduce(
                    list_transform(range(1, length(w)+1), i -> ascii(substr(w, i, 1))::BIGINT),
@@ -881,16 +882,30 @@ def _minhash_base_cte() -> str:
 
 
 def _minhash_pairs_sql(threshold: float = 0.5) -> str:
-    return _minhash_base_cte() + f"""
+    return "WITH RECURSIVE " + _minhash_base_cte() + f"""
         SELECT a, b, est_jaccard FROM pairs WHERE est_jaccard >= {threshold}
     """
+
+
+def _extract_then_neardup_sql(threshold: float = 0.5) -> str:
+    """The composed pipeline's oracle: rebuild each completed doc's
+    rendered extraction text (span texts joined with newline — the
+    render_spans_column 'text' format) via the sha256 bridge, then run the
+    full minhash chain over THAT corpus."""
+    return ("WITH RECURSIVE " + _render_base_cte() + """,
+        rendered AS (
+          SELECT did AS doc_id, array_to_string(spans_text, chr(10)) AS text
+          FROM sp WHERE status = 'completed'),
+    """ + _minhash_base_cte(source="rendered") + f"""
+        SELECT a, b, est_jaccard FROM pairs WHERE est_jaccard >= {threshold}
+    """)
 
 
 def _minhash_clusters_sql(threshold: float = 0.5) -> str:
     """Connected components over the LSH pair graph via a recursive-CTE
     reachability closure (min reachable id == cluster label) — the SQL twin
     of minhash_dedup's union-find / distributed label propagation."""
-    return _minhash_base_cte() + f"""
+    return "WITH RECURSIVE " + _minhash_base_cte() + f"""
         , edges AS (SELECT a, b FROM pairs WHERE est_jaccard >= {threshold}
                     UNION ALL
                     SELECT b, a FROM pairs WHERE est_jaccard >= {threshold}),
@@ -1238,6 +1253,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_clusters": _minhash_clusters_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "fingerprints": _fingerprints_sql(),
+        "extract_then_neardup": _extract_then_neardup_sql(),
         "docs_with_ocr_status": """
             SELECT doc_id, n_chars,
                    CASE WHEN n_chars % 3 = 0 THEN 'pending'
