@@ -122,6 +122,10 @@ def _ivf_topk(sf_dir: str):
 
 
 def _lsh_topk(sf_dir: str):
+    """Queries = embeddings of vec_id 0 and 1 (so query_idx == vec_id, the
+    SQL-unambiguous selection ann_topk uses); rank-only output — cosines
+    are float-engine-specific, ranks are robust (same discipline as
+    ann_topk's oracle)."""
     import numpy as np
     import pyarrow.parquet as pq
     import ray.data
@@ -129,9 +133,11 @@ def _lsh_topk(sf_dir: str):
     from unravel_ray.ann import lsh_topk
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    q = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"][:2].to_pylist()])
+    order = {v: i for i, v in enumerate(t["vec_id"].to_pylist())}
+    q = np.stack([np.asarray(t["embedding"][order[v]].as_py(), dtype=np.float64)
+                  for v in (0, 1)])
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return lsh_topk(ds, q, k=5, n_bits=8)
+    return lsh_topk(ds, q, k=5, n_bits=8).select(["query_idx", "rank", "vec_id"])
 
 
 def _ivf_index_topk(sf_dir: str):
@@ -232,6 +238,8 @@ def _token_stats(sf_dir: str):
 
 
 def _image_decode(sf_dir: str):
+    """Hash surface = (media_id, width, height, pixel_mean_micros); the
+    float pixel_mean stays API-only (micros are the engine-exact form)."""
     import pyarrow.parquet as pq
     import ray.data
 
@@ -239,7 +247,8 @@ def _image_decode(sf_dir: str):
 
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     blobs = synth_blobs([str(d) for d in t["doc_id"].to_pylist()])
-    return decode_images(ray.data.from_arrow(blobs))
+    return decode_images(ray.data.from_arrow(blobs)).select_columns(
+        ["media_id", "width", "height", "pixel_mean_micros"])
 
 
 def _ai_enrich(sf_dir: str):
@@ -450,11 +459,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _simhash_pairs,
         "fingerprints": _fingerprints,
         "extract_then_neardup": _extract_then_neardup,
-        # -------- no_oracle tail (approximate ANN / binary shapes) -------
         "lsh_topk": _lsh_topk,
+        "image_decode": _image_decode,
+        # -------- no_oracle tail (iterative-float ANN / binary export) ---
+        # ivf: 8-round float k-means (argmax boundaries not engine-exact);
+        # docx: binary zip bytes — both covered by recall/structure tests
         "ivf_topk": _ivf_topk,
         "ivf_index_topk": _ivf_index_topk,
-        "image_decode": _image_decode,
         "export_docx": _export_docx,
     }
 
@@ -949,6 +960,71 @@ def _simhash_pairs_sql(max_hamming: int = 6) -> str:
     """
 
 
+def _lsh_topk_sql(k: int = 5, n_bits: int = 8) -> str:
+    """Random-hyperplane LSH buckets in SQL: the seeded plane matrix is
+    embedded as a literal (same RandomState(42) draw the Ray stage makes);
+    bucket bit j = sign of the raw dot with plane j (sign is
+    norm-invariant, so the Ray side's normalization doesn't change it).
+    Candidates = rows sharing a query's bucket; rank-only output (cosine
+    ranking via list_cosine_similarity, ties by vec_id — ann_topk's
+    discipline)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    planes = rng.normal(size=(64, n_bits))
+    p_lit = "[" + ",".join(
+        "[" + ",".join(repr(float(x)) for x in row) + "]" for row in planes
+    ) + "]"
+    bucket = (f"list_sum(list_transform(range(0, {n_bits}), j -> "
+              f"CASE WHEN list_sum(list_transform(range(1, 65), "
+              f"i -> CAST(e[i] AS DOUBLE) * pl[i][j+1])) > 0 "
+              f"THEN (1::BIGINT << j) ELSE 0::BIGINT END))")
+    return f"""
+        WITH planes AS (SELECT {p_lit}::DOUBLE[][] AS pl),
+        b AS (SELECT vec_id, embedding,
+                     {bucket.replace('e[i]', 'embedding[i]')} AS bucket
+              FROM embeddings, planes),
+        q AS (SELECT vec_id AS qid, embedding AS qe, bucket AS qb
+              FROM b WHERE vec_id < 2),
+        cand AS (SELECT vec_id, embedding FROM b
+                 WHERE bucket IN (SELECT qb FROM q)),
+        scored AS (
+          -- every query ranks over the UNION of the queries' buckets —
+          -- lsh_topk filters once with the wanted-set, then brute-forces
+          SELECT q.qid, c.vec_id,
+                 row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_cosine_similarity(c.embedding, q.qe) DESC, c.vec_id
+                 ) AS rn
+          FROM q CROSS JOIN cand c)
+        SELECT CAST(qid AS BIGINT) AS query_idx, CAST(rn - 1 AS BIGINT) AS rank,
+               vec_id
+        FROM scored WHERE rn <= {k}
+    """
+
+
+def _image_decode_sql() -> str:
+    """The media pipeline's id -> blob -> decode chain in SQL: blob =
+    sha256 hexdigest ASCII x8, decode seed = first 8 hex of sha256(blob),
+    pixel j = ((seed + j)*1000003 mod P31) mod 256 over the 32x32x3
+    tensor (see multimodal.FakeDecodeBackend)."""
+    hex8 = " + ".join(
+        f"{16 ** (8 - i)} * ({_HEXVAL.format(s='hx', i=i)})" for i in range(1, 9)
+    )
+    return f"""
+        WITH b AS (SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                          repeat(sha256('blob:' || CAST(doc_id AS VARCHAR)), 8) AS blobtext
+                   FROM documents),
+        s AS (SELECT media_id, substr(sha256(blobtext), 1, 8) AS hx FROM b),
+        sd AS (SELECT media_id, CAST({hex8} AS BIGINT) AS seed FROM s)
+        SELECT media_id, CAST(32 AS INTEGER) AS width, CAST(32 AS INTEGER) AS height,
+               CAST(list_sum(list_transform(range(0, 3072), j ->
+                      ((seed + j) * 1000003 % 2147483647) % 256)) * 1000000 // 3072
+                    AS BIGINT) AS pixel_mean_micros
+        FROM sd
+    """
+
+
 def _fingerprints_sql(window: int = 8) -> str:
     """Winnowing fingerprint: min of polynomial width-8 window folds over
     the word-hash sequence (min word hash when the doc is shorter than the
@@ -1254,6 +1330,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_pairs_sql(),
         "fingerprints": _fingerprints_sql(),
         "extract_then_neardup": _extract_then_neardup_sql(),
+        "lsh_topk": _lsh_topk_sql(),
+        "image_decode": _image_decode_sql(),
         "docs_with_ocr_status": """
             SELECT doc_id, n_chars,
                    CASE WHEN n_chars % 3 = 0 THEN 'pending'

@@ -49,15 +49,23 @@ class DecodeBackend:
 
 
 class FakeDecodeBackend(DecodeBackend):
-    """Deterministic fake: pixels derived from the blob hash; shape 32x32x3."""
+    """Deterministic fake: pixels derived from the blob hash; shape 32x32x3.
+
+    seed = first 8 hex chars of sha256(blob); pixel j = ((seed + j) *
+    1000003 mod P31) mod 256 — a hash pattern instead of an RNG draw so
+    the DuckDB oracle reproduces pixel sums verbatim (RandomState/MT19937
+    is not SQL-expressible; the fake's only job is deterministic
+    plumbing, so the SQL-exact formula is strictly better)."""
+
+    _IDX = np.arange(32 * 32 * 3, dtype=np.int64)
 
     def __init__(self) -> None:  # noqa: D107 — no real codec probe
         self.available = True
 
     def decode(self, blob: bytes) -> np.ndarray:
-        seed = int.from_bytes(hashlib.blake2b(blob or b"", digest_size=8).digest(), "big")
-        rng = np.random.RandomState(seed % (2**32))
-        return rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+        seed = int(hashlib.sha256(blob or b"").hexdigest()[:8], 16)
+        pix = (seed + self._IDX) * 1000003 % 2147483647 % 256
+        return pix.astype(np.uint8).reshape(32, 32, 3)
 
 
 class ImageDecodeStage:
@@ -74,17 +82,22 @@ class ImageDecodeStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch[self.blob_col].to_pylist()
-        widths, heights, means = [], [], []
+        widths, heights, means, micros = [], [], [], []
         for b in blobs:
             img = self.backend.decode(b)
+            n = img.size
+            s = int(img.sum(dtype=np.int64))
             heights.append(img.shape[0])
             widths.append(img.shape[1])
-            means.append(round(float(img.mean()), 4))
+            # exact integer micros (hash-stable); float mean for API use
+            micros.append(s * 1_000_000 // n)
+            means.append(s / n)
         return (
             batch.drop_columns([self.blob_col])
             .append_column("width", pa.array(widths, pa.int32()))
             .append_column("height", pa.array(heights, pa.int32()))
             .append_column("pixel_mean", pa.array(means, pa.float64()))
+            .append_column("pixel_mean_micros", pa.array(micros, pa.int64()))
         )
 
 
@@ -119,8 +132,12 @@ def decode_images(ds: Dataset, backend: str = "fake", blob_col: str = "blob",
 
 
 def synth_blobs(ids: list[str]) -> pa.Table:
-    """Deterministic fake binary payloads keyed by id (for tests/bench)."""
-    blobs = [hashlib.blake2b(f"blob:{i}".encode(), digest_size=32).digest() * 8 for i in ids]
+    """Deterministic fake binary payloads keyed by id (for tests/bench):
+    sha256 hexdigest ASCII bytes x8 (512 B). ASCII on purpose — DuckDB's
+    sha256 only hashes VARCHAR, so the id -> blob -> decode-seed chain
+    stays SQL-reproducible end to end."""
+    blobs = [hashlib.sha256(f"blob:{i}".encode()).hexdigest().encode() * 8
+             for i in ids]
     return pa.table({"media_id": pa.array(ids, pa.string()),
                      "blob": pa.array(blobs, pa.binary())})
 
