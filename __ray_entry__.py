@@ -70,6 +70,21 @@ def _minhash_pairs(sf_dir: str):
     return minhash_candidate_pairs(ds, threshold=0.5)
 
 
+def _jaccard_pairs(sf_dir: str):
+    """n-gram Jaccard near-dup: LSH candidates verified by EXACT distinct
+    shingle-hash-set Jaccard (integer micros — the SQL-reproducible form
+    of ngram_jaccard)."""
+    import ray.data
+
+    from unravel_ray.dedup import jaccard_verified_pairs, minhash_candidate_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(16)
+    pairs = minhash_candidate_pairs(ds, threshold=0.5)
+    return jaccard_verified_pairs(ds, pairs, threshold_micros=500_000)
+
+
 def _simhash_pairs(sf_dir: str):
     import ray.data
 
@@ -456,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # by DuckDB (see _minhash_base_cte and friends)
         "minhash_pairs": _minhash_pairs,
         "minhash_clusters": _minhash_clusters,
+        "jaccard_pairs": _jaccard_pairs,
         "simhash_pairs": _simhash_pairs,
         "fingerprints": _fingerprints,
         "extract_then_neardup": _extract_then_neardup,
@@ -927,6 +943,31 @@ def _minhash_clusters_sql(threshold: float = 0.5) -> str:
     """
 
 
+def _jaccard_pairs_sql(est_threshold: float = 0.5,
+                       threshold_micros: int = 500_000) -> str:
+    """Exact shingle-set Jaccard over the LSH candidate pairs: distinct
+    the sh CTE's shingle-hash lists, |A∩B| via list_intersect, integer
+    micros with floor division (dedup.jaccard_verified_pairs twin;
+    empty-vs-empty = 1_000_000 by ngram_jaccard's convention)."""
+    return "WITH RECURSIVE " + _minhash_base_cte() + f"""
+        , shd AS (SELECT doc_id, list_distinct(sgl) AS dset FROM sh),
+        ver AS (
+          SELECT p.a, p.b,
+                 len(list_intersect(x.dset, y.dset)) AS i,
+                 len(x.dset) + len(y.dset) AS s
+          FROM pairs p
+          JOIN shd x ON x.doc_id = p.a
+          JOIN shd y ON y.doc_id = p.b
+          WHERE p.est_jaccard >= {est_threshold})
+        SELECT a, b,
+               CAST(CASE WHEN s = 0 THEN 1000000
+                         ELSE i * 1000000 // (s - i) END AS BIGINT) AS jaccard_micros
+        FROM ver
+        WHERE CASE WHEN s = 0 THEN 1000000
+                   ELSE i * 1000000 // (s - i) END >= {threshold_micros}
+    """
+
+
 def _simhash_pairs_sql(max_hamming: int = 6) -> str:
     """62-bit SimHash (two char folds, bases 131/137, packed h1 + h2<<31;
     every word occurrence votes +-1 per bit) + brute-force hamming join.
@@ -1327,6 +1368,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_pairs_sql(),
         "minhash_clusters": _minhash_clusters_sql(),
+        "jaccard_pairs": _jaccard_pairs_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "fingerprints": _fingerprints_sql(),
         "extract_then_neardup": _extract_then_neardup_sql(),

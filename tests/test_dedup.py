@@ -64,6 +64,25 @@ def test_minhash_pairs_and_clusters(ray_session):
     assert clusters[3] == 3
 
 
+def test_jaccard_verified_pairs_micros_match_tuple_jaccard(ray_session):
+    """The SQL-exact hash-set micros form equals the tuple-set
+    ngram_jaccard (no mod-P31 collisions at this size); exact dups hit
+    exactly 1_000_000 and the threshold filters."""
+    from unravel_ray.dedup import jaccard_verified_pairs
+
+    pairs = minhash_candidate_pairs(_docs(), threshold=0.5)
+    out = {(p["a"], p["b"]): p["jaccard_micros"]
+           for p in jaccard_verified_pairs(_docs(), pairs,
+                                           threshold_micros=700_000).take_all()}
+    assert out[(1, 4)] == 1_000_000
+    for (a, b), micros in out.items():
+        texts = {1: BASE, 2: NEAR, 3: OTHER, 4: BASE}
+        true = ngram_jaccard(texts[a], texts[b])
+        assert micros == int(true * 1_000_000) or abs(micros / 1e6 - true) < 1e-6
+        assert micros >= 700_000
+    assert (1, 2) in out and not any(3 in p for p in out)
+
+
 def test_jaccard_verification_filters(ray_session):
     pairs = minhash_candidate_pairs(_docs(), threshold=0.5)
     verified = verify_pairs_jaccard(_docs(), pairs, threshold=0.7).take_all()

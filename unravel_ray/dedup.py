@@ -667,6 +667,74 @@ def verify_pairs_jaccard(ds: Dataset, pairs: Dataset, threshold: float,
     return ray.data.from_items(out)
 
 
+def jaccard_verified_pairs(ds: Dataset, pairs: Dataset,
+                           threshold_micros: int = 500_000,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           width: int = 3) -> Dataset:
+    """Exact shingle-set Jaccard verification of candidate pairs,
+    SQL-reproducible (the n-gram-Jaccard dedup family's engine form).
+
+    jaccard_micros = |A ∩ B| * 1_000_000 // |A ∪ B| over the DISTINCT
+    width-3 word-shingle HASH sets (the same mod-P31 values the minhash
+    chain shingles with, so the DuckDB oracle reproduces it verbatim via
+    list_distinct/list_intersect). Differs from the tuple-set
+    ``ngram_jaccard`` only on mod-P31 hash collisions (~n²/2³¹ per pair).
+    Empty-vs-empty = 1_000_000 (ngram_jaccard's 1.0 convention).
+
+    Scale shape: the candidate-id set (LSH candidates << corpus) is
+    collected once and broadcast; per-doc shingle sets are computed
+    DISTRIBUTED over the corpus (non-candidates filtered out before
+    anything shuffles), gathered as one small int64 dict, and pairs
+    verify inside map_batches over the pairs dataset — corpus text never
+    reaches the driver.
+    """
+    pairs = pairs.materialize()  # small candidate set; read twice below
+    pair_tbl = pa.concat_tables(
+        [b for b in pairs.select_columns(["a", "b"]).iter_batches(
+            batch_format="pyarrow", batch_size=None)]
+        or [pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})])
+    cand_ids = set(pair_tbl["a"].to_pylist()) | set(pair_tbl["b"].to_pylist())
+    cand_ref = ray.put(cand_ids)
+
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        cands = ray.get(cand_ref)
+        mask = pa.array([d in cands for d in batch[id_col].to_pylist()], pa.bool_())
+        kept = batch.filter(mask)
+        sets = [np.unique(_shingle_hashes(t, width)).tobytes()
+                for t in kept[text_col].to_pylist()]
+        return pa.table({id_col: kept[id_col],
+                         "sset": pa.array(sets, pa.binary())})
+
+    sets_ref = ray.put({
+        r[id_col]: np.frombuffer(r["sset"], dtype=np.int64)
+        for r in ds.map_batches(shingle_sets, batch_format="pyarrow").take_all()
+    })
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sets = ray.get(sets_ref)
+        a_ids = batch["a"].to_pylist()
+        b_ids = batch["b"].to_pylist()
+        a_o, b_o, m_o = [], [], []
+        for ida, idb in zip(a_ids, b_ids):
+            sa = sets.get(ida)
+            sb = sets.get(idb)
+            if sa is None or sb is None:
+                continue
+            inter = int(np.intersect1d(sa, sb, assume_unique=True).size)
+            uni = int(sa.size) + int(sb.size) - inter
+            micros = 1_000_000 if uni == 0 else inter * 1_000_000 // uni
+            if micros >= threshold_micros:
+                a_o.append(ida)
+                b_o.append(idb)
+                m_o.append(micros)
+        return pa.table({"a": pa.array(a_o, pa.int64()),
+                         "b": pa.array(b_o, pa.int64()),
+                         "jaccard_micros": pa.array(m_o, pa.int64())})
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
