@@ -123,17 +123,28 @@ def _ann_topk(sf_dir: str):
     return out.select(["query_idx", "rank", "vec_id"])
 
 
-def _ivf_topk(sf_dir: str):
+def _ivf_query_vectors(sf_dir: str):
+    """Queries = embeddings of vec_id 0 and 1 (query_idx == vec_id — the
+    SQL-unambiguous selection the ann family uses)."""
     import numpy as np
     import pyarrow.parquet as pq
-    import ray.data
-
-    from unravel_ray.ann import ivf_topk
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    q = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"][:2].to_pylist()])
+    order = {v: i for i, v in enumerate(t["vec_id"].to_pylist())}
+    return np.stack([np.asarray(t["embedding"][order[v]].as_py(), dtype=np.float64)
+                     for v in (0, 1)])
+
+
+def _ivf_topk(sf_dir: str):
+    """Quantized IVF (integer-exact k-means; see ann.py) — rank-only
+    output, fully reproduced by the unrolled-CTE DuckDB oracle."""
+    import ray.data
+
+    from unravel_ray.ann import ivf_topk_quantized
+
+    q = _ivf_query_vectors(sf_dir)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, q, k=5, n_centroids=8, n_probe=3)
+    return ivf_topk_quantized(ds, q, k=5, n_centroids=8, n_iters=4, n_probe=2)
 
 
 def _lsh_topk(sf_dir: str):
@@ -156,22 +167,20 @@ def _lsh_topk(sf_dir: str):
 
 
 def _ivf_index_topk(sf_dir: str):
-    """Persisted-IVF path: build the partition-pruned index on disk, then
-    query it — I/O scales with probed cells, not corpus size."""
+    """Persisted-IVF path: build the partition-pruned index on disk
+    (quantized fit), then query it — I/O scales with probed cells, not
+    corpus size. Same result surface as ivf_topk, same oracle."""
     import tempfile
 
-    import numpy as np
-    import pyarrow.parquet as pq
     import ray.data
 
-    from unravel_ray.ann import build_ivf_index, ivf_query_index
+    from unravel_ray.ann import build_ivf_index_quantized, ivf_query_index_quantized
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    q = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"][:2].to_pylist()])
+    q = _ivf_query_vectors(sf_dir)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     idx_dir = tempfile.mkdtemp(prefix="unravel-ivf-")
-    build_ivf_index(ds, idx_dir, n_centroids=8)
-    return ivf_query_index(idx_dir, q, k=5, n_probe=3)
+    build_ivf_index_quantized(ds, idx_dir, n_centroids=8, n_iters=4)
+    return ivf_query_index_quantized(idx_dir, q, k=5, n_probe=2)
 
 
 def _lang_distribution(sf_dir: str):
@@ -477,11 +486,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_then_neardup": _extract_then_neardup,
         "lsh_topk": _lsh_topk,
         "image_decode": _image_decode,
-        # -------- no_oracle tail (iterative-float ANN / binary export) ---
-        # ivf: 8-round float k-means (argmax boundaries not engine-exact);
-        # docx: binary zip bytes — both covered by recall/structure tests
         "ivf_topk": _ivf_topk,
         "ivf_index_topk": _ivf_index_topk,
+        # -------- no_oracle tail (binary export) -------------------------
+        # docx: binary zip bytes — covered by structure tests
         "export_docx": _export_docx,
     }
 
@@ -1044,6 +1052,69 @@ def _lsh_topk_sql(k: int = 5, n_bits: int = 8) -> str:
     """
 
 
+def _ivf_topk_sql(k: int = 5, n_centroids: int = 8, n_iters: int = 4,
+                  n_probe: int = 2, dim: int = 64) -> str:
+    """The quantized IVF fit (ann.kmeans_fit_quantized) unrolled as CTE
+    iterations: micros quantization, integer L2 argmin assignment (ties ->
+    lowest cell), FLOOR-division centroid update (portable posmod form —
+    DuckDB's // truncates on negatives), empty cells keep their centroid;
+    probe = union of each query's n_probe nearest cells; final rank =
+    exact float cosine over candidates (ann_topk discipline)."""
+    rng = f"range(1, {dim + 1})"
+
+    def dist(x: str, c: str) -> str:
+        return (f"list_sum(list_transform({rng}, i -> "
+                f"({x}[i] - {c}[i]) * ({x}[i] - {c}[i])))")
+
+    def assign(name: str, cents: str) -> str:
+        # argmin with ties -> lowest cell, packed into one BIGINT key
+        # (dist < 2^50, * n_centroids + cell stays well under 2^63)
+        return f"""
+        {name} AS (SELECT e.vec_id,
+                  arg_min(c.cell, {dist('e.x', 'c.cx')} * {n_centroids} + c.cell) AS cell
+                 FROM e CROSS JOIN {cents} c
+                 GROUP BY e.vec_id)"""
+
+    parts = [f"""
+        e AS (SELECT vec_id, embedding,
+               list_transform(embedding, v ->
+                   CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS x
+              FROM embeddings),
+        c0 AS (SELECT vec_id AS cell, x AS cx FROM e WHERE vec_id < {n_centroids})"""]
+    for t in range(n_iters):
+        parts.append(f"""{assign(f'a{t}', f'c{t}')},
+        u{t} AS (SELECT cell, list(m ORDER BY i) AS cx FROM (
+                   SELECT cell, i, (s - ((s % n) + n) % n) // n AS m
+                   FROM (SELECT a.cell, d.i,
+                                CAST(SUM(e.x[d.i]) AS BIGINT) AS s,
+                                CAST(COUNT(*) AS BIGINT) AS n
+                         FROM a{t} a JOIN e USING (vec_id), {rng} d(i)
+                         GROUP BY a.cell, d.i))
+                 GROUP BY cell),
+        c{t + 1} AS (SELECT c.cell, coalesce(u.cx, c.cx) AS cx
+                     FROM c{t} c LEFT JOIN u{t} u USING (cell))""")
+    parts.append(f"""{assign('afin', f'c{n_iters}')},
+        q AS (SELECT vec_id AS qid, embedding AS qe, x AS qx
+              FROM e WHERE vec_id < 2),
+        probe AS (SELECT q.qid, c.cell,
+                   row_number() OVER (PARTITION BY q.qid
+                     ORDER BY {dist('q.qx', 'c.cx')}, c.cell) AS rn
+                  FROM q, c{n_iters} c),
+        cand AS (SELECT a.vec_id FROM afin a
+                 WHERE a.cell IN (SELECT cell FROM probe WHERE rn <= {n_probe})),
+        scored AS (SELECT q.qid, ce.vec_id,
+                    row_number() OVER (PARTITION BY q.qid
+                      ORDER BY list_cosine_similarity(ce.embedding, q.qe) DESC,
+                               ce.vec_id) AS rn
+                   FROM q CROSS JOIN
+                        (SELECT e.vec_id, e.embedding
+                         FROM e JOIN cand USING (vec_id)) ce)
+        SELECT CAST(qid AS BIGINT) AS query_idx, CAST(rn - 1 AS BIGINT) AS rank,
+               vec_id
+        FROM scored WHERE rn <= {k}""")
+    return "WITH " + ",".join(parts)
+
+
 def _image_decode_sql() -> str:
     """The media pipeline's id -> blob -> decode chain in SQL: blob =
     sha256 hexdigest ASCII x8, decode seed = first 8 hex of sha256(blob),
@@ -1374,6 +1445,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_then_neardup": _extract_then_neardup_sql(),
         "lsh_topk": _lsh_topk_sql(),
         "image_decode": _image_decode_sql(),
+        "ivf_topk": _ivf_topk_sql(),
+        "ivf_index_topk": _ivf_topk_sql(),
         "docs_with_ocr_status": """
             SELECT doc_id, n_chars,
                    CASE WHEN n_chars % 3 = 0 THEN 'pending'

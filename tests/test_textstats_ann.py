@@ -95,6 +95,43 @@ def test_ivf_topk_self_recall_and_quality(ray_session):
     assert all(len([r for r in rows if r["query_idx"] == qi]) == 5 for qi in range(3))
 
 
+def test_ivf_topk_quantized_self_recall_and_determinism(ray_session):
+    """The quantized (integer-exact, SQL-reproducible) IVF fit keeps the
+    recall contract: each query finds itself at rank 0, k rows per query,
+    and two runs return identical rows (no RNG anywhere)."""
+    from unravel_ray.ann import ivf_topk_quantized
+
+    ds, mat = _embeddings(300)
+    q = mat[:2]
+    out = ivf_topk_quantized(ds, q, k=5, n_centroids=8, n_iters=4, n_probe=2)
+    rows = out.to_pylist()
+    top = {r["query_idx"]: r["vec_id"] for r in rows if r["rank"] == 0}
+    assert top == {0: 0, 1: 1}
+    assert all(len([r for r in rows if r["query_idx"] == qi]) == 5 for qi in range(2))
+    again = ivf_topk_quantized(ds, q, k=5, n_centroids=8, n_iters=4, n_probe=2)
+    assert again.to_pylist() == rows
+
+
+def test_persisted_quantized_ivf_index_matches_streamed(ray_session, tmp_path):
+    """Quantized persisted index returns exactly the streamed
+    ivf_topk_quantized rows (same fit, partition-pruned read)."""
+    from unravel_ray.ann import (
+        build_ivf_index_quantized,
+        ivf_query_index_quantized,
+        ivf_topk_quantized,
+    )
+
+    ds, mat = _embeddings(250)
+    q = mat[:2]
+    idx_dir = str(tmp_path / "qivf")
+    meta = build_ivf_index_quantized(ds, idx_dir, n_centroids=8, n_iters=4)
+    assert meta["quantized"] is True
+    via_index = ivf_query_index_quantized(idx_dir, q, k=5, n_probe=2).to_pylist()
+    streamed = ivf_topk_quantized(ds, q, k=5, n_centroids=8,
+                                  n_iters=4, n_probe=2).to_pylist()
+    assert via_index == streamed
+
+
 def test_persisted_ivf_index_roundtrip(ray_session, tmp_path):
     """build_ivf_index commits a partition-pruned layout; querying it
     touches only probed cell dirs and matches the streamed ivf_topk recall

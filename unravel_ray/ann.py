@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -206,6 +207,198 @@ def ivf_topk(ds: Dataset, queries: np.ndarray, k: int = 10, n_centroids: int = 1
 
     candidates = indexed.map_batches(keep, batch_format="pyarrow")
     return brute_force_topk(candidates, queries, k, vec_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# quantized IVF — integer-exact k-means (SQL-reproducible end to end)
+# ---------------------------------------------------------------------------
+#
+# The float k-means above is the classic cosine form, but its argmax
+# boundaries and float means are engine-specific — no SQL oracle can
+# reproduce them bit-for-bit. The quantized variant redefines the fit in
+# EXACT integer arithmetic so the whole index is reproducible verbatim by
+# a DuckDB oracle (unrolled CTE iterations in __ray_entry__):
+#   * vectors quantized to int64 micros: floor(float64(v) * 1e6) — the
+#     same IEEE multiply+floor in numpy and SQL;
+#   * init = the vectors of the n_centroids smallest ids (deterministic,
+#     SQL-selectable — no RNG);
+#   * assignment = argmin squared L2 distance in int64 (exact; ties to
+#     the lowest cell id);
+#   * update = elementwise FLOOR division of the int sums (floor, not
+#     truncation — DuckDB's // truncates toward zero on negatives, so the
+#     oracle uses the portable (s - ((s%n)+n)%n) // n form);
+#   * final ranking = exact float cosine over the probed candidates (the
+#     ann_topk discipline: rank-only output, ties by id).
+# Same IVF shape and scale story; only the fit arithmetic is quantized.
+
+MICROS = 1_000_000
+
+
+def _quantize_micros(mat: np.ndarray) -> np.ndarray:
+    """floor(x * 1e6) via float64 — bit-identical to DuckDB's
+    CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)."""
+    return np.floor(np.asarray(mat, dtype=np.float64) * MICROS).astype(np.int64)
+
+
+def _quant_dists(xq: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Squared L2 distances (B x C), exact in int64 (diffs < 2^22 per dim,
+    64 dims -> sums < 2^50)."""
+    d = xq[:, None, :] - cents[None, :, :]
+    return np.einsum("bcd,bcd->bc", d, d)
+
+
+def kmeans_fit_quantized(ds: Dataset, n_centroids: int = 8, n_iters: int = 4,
+                         vec_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
+    """Distributed integer k-means over the FULL corpus: each iteration is
+    one map_batches pass emitting per-cell partial (count, dim-sums) — only
+    n_centroids x (dim + 2) ints per block reach the driver, never vectors.
+    Returns int64 micros centroids (n_centroids x dim)."""
+    init_rows = sorted(
+        (r for r in ds.map_batches(
+            lambda b: b.filter(pc.less(b[id_col], n_centroids)),
+            batch_format="pyarrow").take_all()),
+        key=lambda r: r[id_col])
+    cents = _quantize_micros(np.stack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in init_rows]))
+    n_c, dim = cents.shape
+
+    for _ in range(n_iters):
+        cents_ref = ray.put(cents)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(cents_ref)
+            xq = _quantize_micros(np.stack(
+                [np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()]))
+            assign = np.argmin(_quant_dists(xq, c), axis=1)
+            counts = np.bincount(assign, minlength=n_c).astype(np.int64)
+            sums = np.zeros((n_c, dim), dtype=np.int64)
+            np.add.at(sums, assign, xq)
+            return pa.table({
+                "cell": pa.array(np.arange(n_c), pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+                "s": pa.array([row.tobytes() for row in sums], pa.binary()),
+            })
+
+        sums = np.zeros((n_c, dim), dtype=np.int64)
+        counts = np.zeros(n_c, dtype=np.int64)
+        for r in ds.map_batches(partials, batch_format="pyarrow").take_all():
+            counts[r["cell"]] += r["n"]
+            sums[r["cell"]] += np.frombuffer(r["s"], dtype=np.int64)
+        nonempty = counts > 0
+        cents = cents.copy()
+        cents[nonempty] = np.floor_divide(sums[nonempty], counts[nonempty, None])
+    return cents
+
+
+class IvfQuantAssignStage:
+    """Assign rows to the nearest quantized centroid (exact int argmin)."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding"):
+        self.centroids = ray.get(centroids_ref)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        xq = _quantize_micros(np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch[self.vec_col].to_pylist()]))
+        assign = np.argmin(_quant_dists(xq, self.centroids), axis=1).astype(np.int64)
+        return batch.append_column("ivf_cell", pa.array(assign, pa.int64()))
+
+
+def _quant_probe_cells(queries: np.ndarray, cents: np.ndarray, n_probe: int) -> set:
+    """Union of each query's n_probe nearest cells by integer distance
+    (ties to the lowest cell — stable argsort)."""
+    qd = _quant_dists(_quantize_micros(queries), cents)
+    probe = np.argsort(qd, axis=1, kind="stable")[:, :n_probe]
+    return set(int(c) for c in probe.ravel())
+
+
+def ivf_topk_quantized(ds: Dataset, queries: np.ndarray, k: int = 5,
+                       n_centroids: int = 8, n_iters: int = 4, n_probe: int = 2,
+                       vec_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
+    """IVF top-k with the quantized fit: candidates = rows in the UNION of
+    the queries' probed cells (ivf_topk's wanted-set discipline), exact
+    float-cosine re-rank, rank-only output (query_idx, rank, id)."""
+    q = np.asarray(queries, dtype=np.float64)
+    cents = kmeans_fit_quantized(ds, n_centroids, n_iters, vec_col, id_col)
+    wanted_ref = ray.put(_quant_probe_cells(q, cents, n_probe))
+    cents_ref = ray.put(cents)
+
+    indexed = ds.map_batches(
+        IvfQuantAssignStage,
+        fn_constructor_kwargs=dict(centroids_ref=cents_ref, vec_col=vec_col),
+        batch_format="pyarrow", concurrency=2,
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        w = ray.get(wanted_ref)
+        mask = pa.array([c in w for c in batch["ivf_cell"].to_pylist()], pa.bool_())
+        return batch.filter(mask)
+
+    candidates = indexed.map_batches(keep, batch_format="pyarrow")
+    return brute_force_topk(candidates, q, k, vec_col, id_col).select(
+        ["query_idx", "rank", id_col])
+
+
+def build_ivf_index_quantized(ds: Dataset, index_dir: str, n_centroids: int = 8,
+                              n_iters: int = 4, vec_col: str = "embedding",
+                              id_col: str = "vec_id") -> dict:
+    """build_ivf_index with the quantized fit: same partitioned-parquet
+    cell layout and commit manifest, int64 centroids, fully reproducible."""
+    import json
+    import os
+    import shutil
+
+    cents = kmeans_fit_quantized(ds, n_centroids, n_iters, vec_col, id_col)
+    cents_ref = ray.put(cents)
+
+    cells_dir = os.path.join(index_dir, "cells")
+    manifest = os.path.join(index_dir, "INDEX.json")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+    indexed = ds.map_batches(
+        IvfQuantAssignStage,
+        fn_constructor_kwargs=dict(centroids_ref=cents_ref, vec_col=vec_col),
+        batch_format="pyarrow", concurrency=2,
+    )
+    indexed.write_parquet(cells_dir, partition_cols=["ivf_cell"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cents)
+    meta = {"n_centroids": int(cents.shape[0]), "dim": int(cents.shape[1]),
+            "vec_col": vec_col, "id_col": id_col, "quantized": True}
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, manifest)  # commit point
+    return meta
+
+
+def ivf_query_index_quantized(index_dir: str, queries: np.ndarray, k: int = 5,
+                              n_probe: int = 2) -> pa.Table:
+    """Query a quantized persisted index: integer-distance probe, read ONLY
+    the probed cells' partition directories, exact cosine re-rank,
+    rank-only output."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "INDEX.json")) as f:
+        meta = json.load(f)
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = np.asarray(queries, dtype=np.float64)
+    wanted = sorted(_quant_probe_cells(q, cents, n_probe))
+    dirs = [os.path.join(index_dir, "cells", f"ivf_cell={c}") for c in wanted]
+    paths = [
+        os.path.join(d, f)
+        for d in dirs if os.path.isdir(d)
+        for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+    ]
+    if not paths:
+        return pa.table({"query_idx": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         meta["id_col"]: pa.array([], pa.int64())})
+    cells = ray.data.read_parquet(paths)
+    return brute_force_topk(cells, q, k, meta["vec_col"], meta["id_col"]).select(
+        ["query_idx", "rank", meta["id_col"]])
 
 
 # ---------------------------------------------------------------------------
