@@ -310,10 +310,15 @@ def _export_markdown(sf_dir: str):
 
 
 def _export_docx(sf_dir: str):
-    """Real OOXML binary export (S9): (doc_id, file_name, docx, status);
-    blob sizes projected for a stable smoke schema."""
+    """Real OOXML binary export (S9): the zip is actually built, then the
+    hash surface UNZIPS it and exposes word/document.xml verbatim — the
+    SQL oracle rebuilds that exact XML from the rendered-span bridge (zip
+    container bytes themselves are compression-level noise, the XML
+    payload is the document)."""
+    import io
+    import zipfile
+
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     from unravel_ray.export import export_docx
     from unravel_ray.pipeline import run_flagship
@@ -321,10 +326,15 @@ def _export_docx(sf_dir: str):
     ds = export_docx(run_flagship(sf_dir))
 
     def project(t: pa.Table) -> pa.Table:
+        xmls = [
+            zipfile.ZipFile(io.BytesIO(b)).read("word/document.xml").decode("utf-8")
+            if b else ""
+            for b in t["docx"].to_pylist()
+        ]
         return pa.table({
             "doc_id": t["doc_id"],
             "file_name": t["file_name"],
-            "docx_bytes_len": pc.cast(pc.binary_length(t["docx"]), pa.int64()),
+            "document_xml": pa.array(xmls, pa.string()),
             "status": t["status"],
         })
 
@@ -488,8 +498,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode": _image_decode,
         "ivf_topk": _ivf_topk,
         "ivf_index_topk": _ivf_index_topk,
-        # -------- no_oracle tail (binary export) -------------------------
-        # docx: binary zip bytes — covered by structure tests
         "export_docx": _export_docx,
     }
 
@@ -730,6 +738,52 @@ def _export_markdown_sql() -> str:
                     THEN array_to_string(spans_md, chr(10) || chr(10)) ELSE '' END AS content,
                status
         FROM sp
+    """
+
+
+def _export_docx_sql() -> str:
+    """word/document.xml rebuilt from spans_md: '# '-prefixed spans are
+    Heading1 paragraphs (prefix stripped), '- ' spans ListParagraph (the
+    docx writer keeps the '- ' text prefix), everything else one plain
+    paragraph PER LINE (docx_bytes splits multi-line pdf spans on \\n).
+    The prefixes are unambiguous kind markers: plain spans start with a
+    lowercase word or 'ocr(', never '# '/'- '. No XML escaping needed —
+    the corpus alphabet ([a-z ], initcap headings, 'ocr(<hex>)', page
+    separators) contains no &<>\" characters (export.docx_bytes:147)."""
+    w_ns = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    p_open = '<w:p><w:r><w:t xml:space="preserve">'
+    p_close = "</w:t></w:r></w:p>"
+
+    def styled(style: str) -> tuple[str, str]:
+        return (f'<w:p><w:pPr><w:pStyle w:val="{style}"/></w:pPr>'
+                '<w:r><w:t xml:space="preserve">', p_close)
+
+    h_open, h_close = styled("Heading1")
+    l_open, l_close = styled("ListParagraph")
+    decl = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<w:document xmlns:w="{w_ns}"><w:body>')
+    tail = "<w:sectPr/></w:body></w:document>"
+    return rf"""
+        WITH {_render_base_cte()},
+        x AS (
+          SELECT docid, status,
+            array_to_string(
+              flatten(list_transform(list_filter(spans_md, s -> s <> ''), s ->
+                CASE
+                  WHEN starts_with(s, '# ') THEN
+                    ['{h_open}' || substr(s, 3) || '{h_close}']
+                  WHEN starts_with(s, '- ') THEN
+                    ['{l_open}' || s || '{l_close}']
+                  ELSE
+                    list_transform(string_split(s, chr(10)), line ->
+                      '{p_open}' || line || '{p_close}')
+                END)), '') AS body
+          FROM sp)
+        SELECT docid AS doc_id, docid || '.docx' AS file_name,
+               CASE WHEN status = 'completed'
+                    THEN '{decl}' || body || '{tail}' ELSE '' END AS document_xml,
+               status
+        FROM x
     """
 
 
@@ -1447,6 +1501,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decode": _image_decode_sql(),
         "ivf_topk": _ivf_topk_sql(),
         "ivf_index_topk": _ivf_topk_sql(),
+        "export_docx": _export_docx_sql(),
         "docs_with_ocr_status": """
             SELECT doc_id, n_chars,
                    CASE WHEN n_chars % 3 = 0 THEN 'pending'
