@@ -275,6 +275,37 @@ def _image_decode(sf_dir: str):
         ["media_id", "width", "height", "pixel_mean_micros"])
 
 
+def _audio_features(sf_dir: str):
+    """Audio actor-pool stage over synthetic blobs; hash surface =
+    (media_id, duration_ms, rms_milli_sq) — the integer-exact features
+    (float duration_s/rms_energy stay API-only)."""
+    import ray.data
+
+    import pyarrow.parquet as pq
+
+    from unravel_ray.multimodal import extract_audio_features, synth_blobs
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    blobs = synth_blobs([str(d) for d in t["doc_id"].to_pylist()])
+    return extract_audio_features(ray.data.from_arrow(blobs)).select_columns(
+        ["media_id", "duration_ms", "rms_milli_sq"])
+
+
+def _frame_sample(sf_dir: str):
+    """Video frame-sample explode (one row per sampled frame); hash
+    surface = (media_id, frame_no, pixel_mean_micros)."""
+    import ray.data
+
+    import pyarrow.parquet as pq
+
+    from unravel_ray.multimodal import sample_frames, synth_blobs
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    blobs = synth_blobs([str(d) for d in t["doc_id"].to_pylist()])
+    return sample_frames(ray.data.from_arrow(blobs), n_frames=4).select_columns(
+        ["media_id", "frame_no", "pixel_mean_micros"])
+
+
 def _ai_enrich(sf_dir: str):
     """Scalar projection only: the M14 list round-trip (ai_tags_list) is
     covered by tests/test_ai_enrich.py — list columns stay out of the
@@ -496,6 +527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_then_neardup": _extract_then_neardup,
         "lsh_topk": _lsh_topk,
         "image_decode": _image_decode,
+        "audio_features": _audio_features,
+        "frame_sample": _frame_sample,
         "ivf_topk": _ivf_topk,
         "ivf_index_topk": _ivf_index_topk,
         "export_docx": _export_docx,
@@ -1191,6 +1224,54 @@ def _image_decode_sql() -> str:
     """
 
 
+_BLOBTEXT_CTE = """
+        b AS (SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                     repeat(sha256('blob:' || CAST(doc_id AS VARCHAR)), 8) AS blobtext
+              FROM documents)"""
+
+
+def _seed_from_hex(col: str = "hx") -> str:
+    """int(substr(sha-hex, 1, 8), 16) portably (no hex cast)."""
+    return " + ".join(
+        f"{16 ** (8 - i)} * ({_HEXVAL.format(s=col, i=i)})" for i in range(1, 9))
+
+
+def _audio_features_sql() -> str:
+    """AudioFeatureStage's fake decode chain in SQL: seed = first 8 hex of
+    sha256(blobtext); duration_ms = (1 + seed%5) * 1000 (16 kHz clips of
+    1-5 s); rms_milli_sq = mean square of the first-1024-sample window,
+    sample j = ((seed + j)*1000003 mod P31) mod 2001 - 1000."""
+    samp = "((((seed + j) * 1000003 % 2147483647) % 2001) - 1000)"
+    return f"""
+        WITH {_BLOBTEXT_CTE},
+        s AS (SELECT media_id, substr(sha256(blobtext), 1, 8) AS hx FROM b),
+        sd AS (SELECT media_id, CAST({_seed_from_hex()} AS BIGINT) AS seed FROM s)
+        SELECT media_id,
+               CAST((1 + seed % 5) * 1000 AS BIGINT) AS duration_ms,
+               CAST(list_sum(list_transform(range(0, 1024), j ->
+                      {samp} * {samp})) // 1024 AS BIGINT) AS rms_milli_sq
+        FROM sd
+    """
+
+
+def _frame_sample_sql(n_frames: int = 4) -> str:
+    """FrameSampleStage chain: frame seed = first 8 hex of
+    sha256(blobtext || ':frame:' || f); pixel formula as image_decode."""
+    return f"""
+        WITH {_BLOBTEXT_CTE},
+        fr AS (SELECT media_id, blobtext, f FROM b, range(0, {n_frames}) t(f)),
+        s AS (SELECT media_id, f,
+                     substr(sha256(blobtext || ':frame:' || f), 1, 8) AS hx
+              FROM fr),
+        sd AS (SELECT media_id, f, CAST({_seed_from_hex()} AS BIGINT) AS seed FROM s)
+        SELECT media_id, CAST(f AS INTEGER) AS frame_no,
+               CAST(list_sum(list_transform(range(0, 3072), j ->
+                      ((seed + j) * 1000003 % 2147483647) % 256)) * 1000000 // 3072
+                    AS BIGINT) AS pixel_mean_micros
+        FROM sd
+    """
+
+
 def _fingerprints_sql(window: int = 8) -> str:
     """Winnowing fingerprint: min of polynomial width-8 window folds over
     the word-hash sequence (min word hash when the doc is shorter than the
@@ -1499,6 +1580,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_then_neardup": _extract_then_neardup_sql(),
         "lsh_topk": _lsh_topk_sql(),
         "image_decode": _image_decode_sql(),
+        "audio_features": _audio_features_sql(),
+        "frame_sample": _frame_sample_sql(),
         "ivf_topk": _ivf_topk_sql(),
         "ivf_index_topk": _ivf_topk_sql(),
         "export_docx": _export_docx_sql(),

@@ -152,6 +152,10 @@ class AudioFeatureStage:
     """
 
     SAMPLE_RATE = 16_000
+    ENERGY_WINDOW = 1024  # energy computed over the first W samples — a
+    # fixed-cost feature regardless of clip length (and SQL-reproducible)
+    _P31 = 2147483647
+    _WIDX = np.arange(1024, dtype=np.int64)
 
     def __init__(self, blob_col: str = "blob", backend: str = "fake"):
         # backend is an explicit choice (like ImageDecodeStage): the fake
@@ -160,25 +164,43 @@ class AudioFeatureStage:
         self.backend = backend
 
     def decode(self, blob: bytes) -> np.ndarray:
+        """Fake PCM in milli-amplitude int64: sample j = ((seed + j) *
+        1000003 mod P31) mod 2001 - 1000 — a hash pattern, not an RNG
+        draw, so the DuckDB oracle reproduces energy sums verbatim (same
+        rationale as FakeDecodeBackend)."""
         if self.backend == "fake":
-            seed = int.from_bytes(hashlib.blake2b(blob or b"", digest_size=8).digest(), "big")
-            rng = np.random.RandomState(seed % (2**32))
+            seed = int(hashlib.sha256(blob or b"").hexdigest()[:8], 16)
             n = self.SAMPLE_RATE * (1 + seed % 5)  # 1-5 s deterministic
-            return (rng.standard_normal(n) * 0.1).astype(np.float32)
+            idx = np.arange(n, dtype=np.int64)
+            return ((seed + idx) * 1000003 % self._P31 % 2001 - 1000)
         import soundfile  # type: ignore  # noqa: F401
 
         raise NotImplementedError("wire soundfile decode here")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch[self.blob_col].to_pylist()
-        dur, energy = [], []
+        dur_ms, dur, msq, energy = [], [], [], []
         for b in blobs:
-            pcm = self.decode(b)
-            dur.append(round(len(pcm) / self.SAMPLE_RATE, 3))
-            energy.append(round(float(np.sqrt(np.mean(pcm**2))), 6))
+            if self.backend == "fake":
+                # duration + window derived without materializing the clip
+                seed = int(hashlib.sha256(b or b"").hexdigest()[:8], 16)
+                n = self.SAMPLE_RATE * (1 + seed % 5)
+                win = (seed + self._WIDX) * 1000003 % self._P31 % 2001 - 1000
+            else:
+                pcm = self.decode(b)
+                n = len(pcm)
+                win = pcm[: self.ENERGY_WINDOW].astype(np.int64)
+            w = int(min(self.ENERGY_WINDOW, n))
+            mean_sq = int((win[:w] ** 2).sum()) // w  # exact milli^2
+            dur_ms.append(n * 1000 // self.SAMPLE_RATE)
+            dur.append(n / self.SAMPLE_RATE)
+            msq.append(mean_sq)
+            energy.append((mean_sq ** 0.5) / 1000.0)
         return (
             batch.drop_columns([self.blob_col])
+            .append_column("duration_ms", pa.array(dur_ms, pa.int64()))
             .append_column("duration_s", pa.array(dur, pa.float64()))
+            .append_column("rms_milli_sq", pa.array(msq, pa.int64()))
             .append_column("rms_energy", pa.array(energy, pa.float64()))
         )
 
@@ -201,17 +223,24 @@ class FrameSampleStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         blobs = batch[self.blob_col].to_pylist()
-        out_id, out_frame, out_mean = [], [], []
+        out_id, out_frame, out_mean, out_micros = [], [], [], []
         for mid, b in zip(ids, blobs):
             for f in range(self.n_frames):
-                frame = self.backend.decode((b or b"") + f.to_bytes(2, "big"))
+                # ASCII frame salt so the blob -> frame-seed sha256 chain
+                # stays VARCHAR-safe for the SQL oracle (binary salts
+                # can't round-trip through DuckDB's sha256)
+                frame = self.backend.decode((b or b"") + f":frame:{f}".encode())
+                n = frame.size
+                s = int(frame.sum(dtype=np.int64))
                 out_id.append(mid)
                 out_frame.append(f)
-                out_mean.append(round(float(frame.mean()), 4))
+                out_mean.append(s / n)
+                out_micros.append(s * 1_000_000 // n)
         return pa.table({
             self.id_col: pa.array(out_id, pa.string()),
             "frame_no": pa.array(out_frame, pa.int32()),
             "pixel_mean": pa.array(out_mean, pa.float64()),
+            "pixel_mean_micros": pa.array(out_micros, pa.int64()),
         })
 
 
