@@ -275,6 +275,30 @@ def _image_decode(sf_dir: str):
         ["media_id", "width", "height", "pixel_mean_micros"])
 
 
+def _image_resize(sf_dir: str):
+    """Resize (fake: deterministic 16x16 crop) stage; hash surface =
+    (media_id, crop_pixel_sum) — the crop's exact integer pixel sum."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from unravel_ray.multimodal import ImageResizeStage, synth_blobs
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    blobs = synth_blobs([str(d) for d in t["doc_id"].to_pylist()])
+    ds = ray.data.from_arrow(blobs).map_batches(
+        ImageResizeStage, fn_constructor_kwargs={"size": (16, 16)},
+        batch_format="pyarrow", batch_size=32, concurrency=2)
+
+    def project(b: pa.Table) -> pa.Table:
+        sums = [int(np.asarray(p, dtype=np.int64).sum()) for p in b["pixels"].to_pylist()]
+        return pa.table({"media_id": b["media_id"],
+                         "crop_pixel_sum": pa.array(sums, pa.int64())})
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def _audio_features(sf_dir: str):
     """Audio actor-pool stage over synthetic blobs; hash surface =
     (media_id, duration_ms, rms_milli_sq) — the integer-exact features
@@ -527,6 +551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_then_neardup": _extract_then_neardup,
         "lsh_topk": _lsh_topk,
         "image_decode": _image_decode,
+        "image_resize": _image_resize,
         "audio_features": _audio_features,
         "frame_sample": _frame_sample,
         "ivf_topk": _ivf_topk,
@@ -1236,6 +1261,23 @@ def _seed_from_hex(col: str = "hx") -> str:
         f"{16 ** (8 - i)} * ({_HEXVAL.format(s=col, i=i)})" for i in range(1, 9))
 
 
+def _image_resize_sql() -> str:
+    """The 16x16 top-left crop of the fake-decoded 32x32x3 tensor: crop
+    flat index t maps to source index j = ((t//48)*32 + (t//3)%16)*3 + t%3,
+    pixel formula as image_decode."""
+    j = "(((t // 48) * 32 + (t // 3) % 16) * 3 + t % 3)"
+    return f"""
+        WITH {_BLOBTEXT_CTE},
+        s AS (SELECT media_id, substr(sha256(blobtext), 1, 8) AS hx FROM b),
+        sd AS (SELECT media_id, CAST({_seed_from_hex()} AS BIGINT) AS seed FROM s)
+        SELECT media_id,
+               CAST(list_sum(list_transform(range(0, 768), t ->
+                      ((seed + {j}) * 1000003 % 2147483647) % 256)) AS BIGINT)
+                 AS crop_pixel_sum
+        FROM sd
+    """
+
+
 def _audio_features_sql() -> str:
     """AudioFeatureStage's fake decode chain in SQL: seed = first 8 hex of
     sha256(blobtext); duration_ms = (1 + seed%5) * 1000 (16 kHz clips of
@@ -1580,6 +1622,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_then_neardup": _extract_then_neardup_sql(),
         "lsh_topk": _lsh_topk_sql(),
         "image_decode": _image_decode_sql(),
+        "image_resize": _image_resize_sql(),
         "audio_features": _audio_features_sql(),
         "frame_sample": _frame_sample_sql(),
         "ivf_topk": _ivf_topk_sql(),
