@@ -338,3 +338,31 @@ def test_lev1_pattern_matches_levenshtein_model(words, tok):
         pa.array([text]), _lev1_pattern(tok))[0].as_py()
     want = sum(1 for w in words if _lev(w, tok) <= 1)
     assert got == want, (words, tok, got, want)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard: hash-set micros form vs tuple-set model
+# ---------------------------------------------------------------------------
+
+
+@given(
+    a=st.lists(st.sampled_from("cat dog fox hen owl ant bee elk".split()),
+               min_size=0, max_size=30),
+    b=st.lists(st.sampled_from("cat dog fox hen owl ant bee elk".split()),
+               min_size=0, max_size=30),
+)
+@settings(max_examples=300, deadline=None)
+def test_shingle_hash_jaccard_matches_tuple_jaccard(a, b):
+    """The SQL-exact shingle-HASH-set micros equals floor(tuple-set
+    jaccard * 1e6) — hash collisions are the only divergence and cannot
+    occur over this 8-word vocabulary (distinct shingles << 2^31)."""
+    from unravel_ray.dedup import _shingle_hashes
+
+    ta, tb = " ".join(a), " ".join(b)
+    sa = np.unique(_shingle_hashes(ta))
+    sb = np.unique(_shingle_hashes(tb))
+    inter = int(np.intersect1d(sa, sb, assume_unique=True).size)
+    uni = int(sa.size) + int(sb.size) - inter
+    micros = 1_000_000 if uni == 0 else inter * 1_000_000 // uni
+    true = ngram_jaccard(ta, tb)
+    assert micros == int(true * 1_000_000) or abs(micros - true * 1e6) < 1

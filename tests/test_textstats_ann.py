@@ -112,6 +112,19 @@ def test_ivf_topk_quantized_self_recall_and_determinism(ray_session):
     assert again.to_pylist() == rows
 
 
+def test_quantized_kmeans_partition_invariant(ray_session):
+    """The distributed integer k-means must return IDENTICAL centroids
+    regardless of block layout (int sums are associative; floor-division
+    happens once on the combined sums) — the property that makes the fit
+    reproducible on any cluster size."""
+    from unravel_ray.ann import kmeans_fit_quantized
+
+    ds, _ = _embeddings(200)
+    c_a = kmeans_fit_quantized(ds.repartition(3), n_centroids=8, n_iters=4)
+    c_b = kmeans_fit_quantized(ds.repartition(13), n_centroids=8, n_iters=4)
+    assert (c_a == c_b).all()
+
+
 def test_persisted_quantized_ivf_index_matches_streamed(ray_session, tmp_path):
     """Quantized persisted index returns exactly the streamed
     ivf_topk_quantized rows (same fit, partition-pruned read)."""
