@@ -144,7 +144,10 @@ def _ivf_topk(sf_dir: str):
 
     q = _ivf_query_vectors(sf_dir)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ivf_topk_quantized(ds, q, k=5, n_centroids=8, n_iters=4, n_probe=2)
+    # sample_mod=5: fit on the deterministic 1-in-5 id sample (the 100 TB
+    # shape — fit passes scan the sample, assignment one full pass)
+    return ivf_topk_quantized(ds, q, k=5, n_centroids=8, n_iters=4, n_probe=2,
+                              sample_mod=5)
 
 
 def _lsh_topk(sf_dir: str):
@@ -179,7 +182,7 @@ def _ivf_index_topk(sf_dir: str):
     q = _ivf_query_vectors(sf_dir)
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     idx_dir = tempfile.mkdtemp(prefix="unravel-ivf-")
-    build_ivf_index_quantized(ds, idx_dir, n_centroids=8, n_iters=4)
+    build_ivf_index_quantized(ds, idx_dir, n_centroids=8, n_iters=4, sample_mod=5)
     return ivf_query_index_quantized(idx_dir, q, k=5, n_probe=2)
 
 
@@ -1165,26 +1168,28 @@ def _lsh_topk_sql(k: int = 5, n_bits: int = 8) -> str:
 
 
 def _ivf_topk_sql(k: int = 5, n_centroids: int = 8, n_iters: int = 4,
-                  n_probe: int = 2, dim: int = 64) -> str:
+                  n_probe: int = 2, dim: int = 64, sample_mod: int = 5) -> str:
     """The quantized IVF fit (ann.kmeans_fit_quantized) unrolled as CTE
     iterations: micros quantization, integer L2 argmin assignment (ties ->
     lowest cell), FLOOR-division centroid update (portable posmod form —
     DuckDB's // truncates on negatives), empty cells keep their centroid;
-    probe = union of each query's n_probe nearest cells; final rank =
-    exact float cosine over candidates (ann_topk discipline)."""
+    fit runs over the deterministic id % sample_mod == 0 sample (es CTE),
+    assignment over the full corpus; probe = union of each query's
+    n_probe nearest cells; final rank = exact float cosine over
+    candidates (ann_topk discipline)."""
     rng = f"range(1, {dim + 1})"
 
     def dist(x: str, c: str) -> str:
         return (f"list_sum(list_transform({rng}, i -> "
                 f"({x}[i] - {c}[i]) * ({x}[i] - {c}[i])))")
 
-    def assign(name: str, cents: str) -> str:
+    def assign(name: str, cents: str, source: str = "e") -> str:
         # argmin with ties -> lowest cell, packed into one BIGINT key
         # (dist < 2^50, * n_centroids + cell stays well under 2^63)
         return f"""
         {name} AS (SELECT e.vec_id,
                   arg_min(c.cell, {dist('e.x', 'c.cx')} * {n_centroids} + c.cell) AS cell
-                 FROM e CROSS JOIN {cents} c
+                 FROM {source} e CROSS JOIN {cents} c
                  GROUP BY e.vec_id)"""
 
     parts = [f"""
@@ -1192,15 +1197,18 @@ def _ivf_topk_sql(k: int = 5, n_centroids: int = 8, n_iters: int = 4,
                list_transform(embedding, v ->
                    CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS x
               FROM embeddings),
-        c0 AS (SELECT vec_id AS cell, x AS cx FROM e WHERE vec_id < {n_centroids})"""]
+        es AS (SELECT vec_id, x FROM e WHERE vec_id % {sample_mod} = 0),
+        c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, x AS cx
+               FROM es WHERE vec_id < {n_centroids * sample_mod}
+               ORDER BY vec_id LIMIT {n_centroids})"""]
     for t in range(n_iters):
-        parts.append(f"""{assign(f'a{t}', f'c{t}')},
+        parts.append(f"""{assign(f'a{t}', f'c{t}', source='es')},
         u{t} AS (SELECT cell, list(m ORDER BY i) AS cx FROM (
                    SELECT cell, i, (s - ((s % n) + n) % n) // n AS m
                    FROM (SELECT a.cell, d.i,
                                 CAST(SUM(e.x[d.i]) AS BIGINT) AS s,
                                 CAST(COUNT(*) AS BIGINT) AS n
-                         FROM a{t} a JOIN e USING (vec_id), {rng} d(i)
+                         FROM a{t} a JOIN es e USING (vec_id), {rng} d(i)
                          GROUP BY a.cell, d.i))
                  GROUP BY cell),
         c{t + 1} AS (SELECT c.cell, coalesce(u.cx, c.cx) AS cx

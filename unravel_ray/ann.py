@@ -248,16 +248,31 @@ def _quant_dists(xq: np.ndarray, cents: np.ndarray) -> np.ndarray:
 
 
 def kmeans_fit_quantized(ds: Dataset, n_centroids: int = 8, n_iters: int = 4,
-                         vec_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
-    """Distributed integer k-means over the FULL corpus: each iteration is
-    one map_batches pass emitting per-cell partial (count, dim-sums) — only
-    n_centroids x (dim + 2) ints per block reach the driver, never vectors.
-    Returns int64 micros centroids (n_centroids x dim)."""
+                         vec_col: str = "embedding", id_col: str = "vec_id",
+                         sample_mod: int = 1) -> np.ndarray:
+    """Distributed integer k-means: each iteration is one map_batches pass
+    emitting per-cell partial (count, dim-sums) — only n_centroids x
+    (dim + 2) ints per block reach the driver, never vectors. Returns
+    int64 micros centroids (n_centroids x dim).
+
+    ``sample_mod``: fit over the deterministic id-sample
+    ``id % sample_mod == 0`` instead of the full corpus — the 100 TB
+    shape (choose sample_mod so the sample is ~10-100k rows; the fit's
+    n_iters passes then scan only the sample while assignment stays one
+    full pass). Deterministic and SQL-expressible, unlike an RNG sample,
+    so oracles reproduce it verbatim. 1 = fit on everything."""
+    if sample_mod > 1:
+        def pick(b: pa.Table) -> pa.Table:
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % sample_mod == 0))
+        fit_ds = ds.map_batches(pick, batch_format="pyarrow")
+    else:
+        fit_ds = ds
     init_rows = sorted(
-        (r for r in ds.map_batches(
-            lambda b: b.filter(pc.less(b[id_col], n_centroids)),
+        (r for r in fit_ds.map_batches(
+            lambda b: b.filter(pc.less(b[id_col], n_centroids * max(1, sample_mod))),
             batch_format="pyarrow").take_all()),
-        key=lambda r: r[id_col])
+        key=lambda r: r[id_col])[:n_centroids]
     cents = _quantize_micros(np.stack(
         [np.asarray(r[vec_col], dtype=np.float64) for r in init_rows]))
     n_c, dim = cents.shape
@@ -281,7 +296,7 @@ def kmeans_fit_quantized(ds: Dataset, n_centroids: int = 8, n_iters: int = 4,
 
         sums = np.zeros((n_c, dim), dtype=np.int64)
         counts = np.zeros(n_c, dtype=np.int64)
-        for r in ds.map_batches(partials, batch_format="pyarrow").take_all():
+        for r in fit_ds.map_batches(partials, batch_format="pyarrow").take_all():
             counts[r["cell"]] += r["n"]
             sums[r["cell"]] += np.frombuffer(r["s"], dtype=np.int64)
         nonempty = counts > 0
@@ -314,12 +329,14 @@ def _quant_probe_cells(queries: np.ndarray, cents: np.ndarray, n_probe: int) -> 
 
 def ivf_topk_quantized(ds: Dataset, queries: np.ndarray, k: int = 5,
                        n_centroids: int = 8, n_iters: int = 4, n_probe: int = 2,
-                       vec_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       sample_mod: int = 1) -> pa.Table:
     """IVF top-k with the quantized fit: candidates = rows in the UNION of
     the queries' probed cells (ivf_topk's wanted-set discipline), exact
     float-cosine re-rank, rank-only output (query_idx, rank, id)."""
     q = np.asarray(queries, dtype=np.float64)
-    cents = kmeans_fit_quantized(ds, n_centroids, n_iters, vec_col, id_col)
+    cents = kmeans_fit_quantized(ds, n_centroids, n_iters, vec_col, id_col,
+                                 sample_mod=sample_mod)
     wanted_ref = ray.put(_quant_probe_cells(q, cents, n_probe))
     cents_ref = ray.put(cents)
 
@@ -341,14 +358,15 @@ def ivf_topk_quantized(ds: Dataset, queries: np.ndarray, k: int = 5,
 
 def build_ivf_index_quantized(ds: Dataset, index_dir: str, n_centroids: int = 8,
                               n_iters: int = 4, vec_col: str = "embedding",
-                              id_col: str = "vec_id") -> dict:
+                              id_col: str = "vec_id", sample_mod: int = 1) -> dict:
     """build_ivf_index with the quantized fit: same partitioned-parquet
     cell layout and commit manifest, int64 centroids, fully reproducible."""
     import json
     import os
     import shutil
 
-    cents = kmeans_fit_quantized(ds, n_centroids, n_iters, vec_col, id_col)
+    cents = kmeans_fit_quantized(ds, n_centroids, n_iters, vec_col, id_col,
+                                 sample_mod=sample_mod)
     cents_ref = ray.put(cents)
 
     cells_dir = os.path.join(index_dir, "cells")
