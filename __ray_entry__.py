@@ -483,6 +483,43 @@ def _extract_then_neardup(sf_dir: str):
     return minhash_candidate_pairs(corpus, threshold=0.5)
 
 
+def _distinct_users_hll(sf_dir: str):
+    """HLL-style register-sketch distinct users per event type, reported
+    next to the exact count (the at-scale COUNT(DISTINCT): registers
+    merge with MAX and the shuffle payload is 256 slim ints per group
+    regardless of cardinality). Integer-deterministic end to end — see
+    unravel_ray/sketch.py for the cross-engine contract."""
+    import ray.data
+
+    from unravel_ray.sketch import exact_distinct_by, hll_estimate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    est = hll_estimate(ds, "user_id", "event_type")
+    ex = exact_distinct_by(ds, "user_id", "event_type")
+    out = est.join(ex, keys="g").rename_columns(
+        ["event_type", "n_buckets_hit", "distinct_est_micros",
+         "exact_distinct"])
+    return out.sort_by("event_type")
+
+
+def _inverted_index(sf_dir: str):
+    import ray.data
+
+    from unravel_ray.textstats import inverted_index
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(16)
+    return inverted_index(ds)
+
+
+def _tfidf_rank(sf_dir: str):
+    from unravel_ray.relational import tfidf_rank
+
+    return tfidf_rank(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """EVERY oracle-backed entry comes FIRST (the driver checks queries in
     dict order and has been observed to stop at a fixed count — r2 left 6
@@ -544,6 +581,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats": _token_stats,
         "pack_sequences": _pack_sequences,
         "vocab_top_words": _vocab_top_words,
+        "distinct_users_hll": _distinct_users_hll,
+        "inverted_index": _inverted_index,
+        "tfidf_rank": _tfidf_rank,
         # P31 universal-hash family: signatures/buckets reproduced verbatim
         # by DuckDB (see _minhash_base_cte and friends)
         "minhash_pairs": _minhash_pairs,
@@ -598,6 +638,84 @@ def _bridge_thresholds() -> dict[str, str]:
 
 
 _HEXVAL = "strpos('0123456789abcdef', substr({s}, {i}, 1)) - 1"
+
+
+def _hll_sql() -> str:
+    """HLL register sketch + linear-counting correction in pure SQL, from
+    the same constants as unravel_ray/sketch.py (single source of truth:
+    alpha, rank cap, and the precomputed integer-micros ln table are
+    interpolated, never re-derived). rho is bit-granular: 4 x the
+    leading-'0'-nibble count of the 16-hex-char tail plus a per-nibble
+    leading-zero-bits CASE, plus 1."""
+    from unravel_ray import sketch as K
+
+    lc = "[" + ",".join(str(x) for x in K.LC_TABLE_MICROS) + "]"
+    return f"""
+        WITH hx AS (
+          SELECT event_type AS g, sha256(CAST(user_id AS VARCHAR)) AS s
+          FROM (SELECT DISTINCT event_type, user_id FROM events)),
+        z AS (SELECT g, s, substr(s, 3, 16) AS tail,
+                len(regexp_extract(substr(s, 3, 16), '^0*')) AS nz
+              FROM hx),
+        r AS (SELECT g,
+                16*(strpos('0123456789abcdef', substr(s, 1, 1))-1)
+                 + (strpos('0123456789abcdef', substr(s, 2, 1))-1) AS bucket,
+                least(4*nz + CASE substr(tail, nz + 1, 1)
+                               WHEN '1' THEN 3
+                               WHEN '2' THEN 2 WHEN '3' THEN 2
+                               WHEN '4' THEN 1 WHEN '5' THEN 1
+                               WHEN '6' THEN 1 WHEN '7' THEN 1
+                               WHEN '' THEN {K.RANK_CAP}
+                               ELSE 0 END + 1, {K.RANK_CAP}) AS rho
+              FROM z),
+        m AS (SELECT g, bucket, MAX(rho) AS mr FROM r GROUP BY g, bucket),
+        f AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_buckets_hit,
+                CAST(SUM(CAST(1 AS BIGINT) << ({K.RANK_CAP} - mr)) AS HUGEINT) AS dh
+              FROM m GROUP BY g),
+        raw AS (SELECT g, n_buckets_hit,
+                CAST(least(CAST('{K.NUMER}' AS HUGEINT)
+                           // (dh + ({K.N_BUCKETS} - n_buckets_hit)
+                               * CAST('{K.EMPTY_TERM}' AS HUGEINT)),
+                           CAST('{K.EST_CAP}' AS HUGEINT)) AS BIGINT) AS raw_est
+                FROM f),
+        ex AS (SELECT event_type AS g,
+                 CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+               FROM events GROUP BY event_type)
+        SELECT raw.g AS event_type, n_buckets_hit,
+               CASE WHEN raw_est <= {K.LC_THRESHOLD_MICROS}
+                     AND n_buckets_hit < {K.N_BUCKETS}
+                    THEN {K.N_BUCKETS} * ({lc})[n_buckets_hit + 1]
+                    ELSE raw_est END AS distinct_est_micros,
+               ex.exact_distinct
+        FROM raw JOIN ex ON raw.g = ex.g
+        ORDER BY event_type
+    """
+
+
+def _tfidf_sql(terms=("query", "stream", "window"), k: int = 20) -> str:
+    """Integer TF-IDF in SQL: same idf_micros = N*1e6 // df (0 when
+    df = 0) and tf x idf sum as relational.tfidf_rank."""
+    import re as _re
+
+    df_cols = ",\n                ".join(
+        rf"CAST(COUNT(*) FILTER (WHERE len(regexp_extract_all(t, '\b{_re.escape(w)}\b')) > 0) AS BIGINT) AS df{i}"
+        for i, w in enumerate(terms))
+    score_terms = "\n               + ".join(
+        rf"CAST(len(regexp_extract_all(t, '\b{_re.escape(w)}\b')) AS BIGINT)"
+        rf" * (CASE WHEN (SELECT df{i} FROM stats) = 0 THEN 0"
+        rf" ELSE (SELECT n FROM stats) * 1000000 // (SELECT df{i} FROM stats) END)"
+        for i, w in enumerate(terms))
+    return f"""
+        WITH low AS (SELECT doc_id, lower(COALESCE(text, '')) AS t FROM documents),
+        stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                {df_cols}
+              FROM low),
+        sc AS (SELECT doc_id,
+                 {score_terms} AS score_micros
+               FROM low)
+        SELECT doc_id, score_micros FROM sc WHERE score_micros > 0
+        ORDER BY score_micros DESC, doc_id LIMIT {k}
+    """
 
 
 def _sha3_int_sql(expr: str) -> str:
@@ -1832,4 +1950,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(tokens) AS BIGINT) AS total_tokens
             FROM d GROUP BY lang
         """,
+        "distinct_users_hll": _hll_sql(),
+        "inverted_index": r"""
+            WITH p AS (
+              SELECT DISTINCT doc_id, w AS word FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(COALESCE(text, '')), '[a-z]+')) AS w
+                FROM documents))
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+                   array_to_string(list_sort(list(doc_id)), ',') AS postings
+            FROM p GROUP BY word
+        """,
+        "tfidf_rank": _tfidf_sql(),
     }

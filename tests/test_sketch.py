@@ -1,0 +1,113 @@
+"""HLL register sketch + inverted index + TF-IDF unit tests (the query
+contract itself is exercised against DuckDB in test_queries_vs_duckdb)."""
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+import ray.data
+from unravel_ray.sketch import (
+    EMPTY_TERM,
+    EST_CAP,
+    LC_TABLE_MICROS,
+    LC_THRESHOLD_MICROS,
+    N_BUCKETS,
+    NUMER,
+    RANK_CAP,
+    _rank_of,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _reference_estimate(values) -> int:
+    """Single-threaded model of the exact estimator contract."""
+    regs = {}
+    for v in values:
+        h = hashlib.sha256(str(v).encode()).hexdigest()
+        b = int(h[:2], 16)
+        regs[b] = max(regs.get(b, 0), _rank_of(h))
+    n_hit = len(regs)
+    denom = sum(1 << (RANK_CAP - r) for r in regs.values()) \
+        + (N_BUCKETS - n_hit) * EMPTY_TERM
+    est = min(NUMER // denom, EST_CAP)
+    if est <= LC_THRESHOLD_MICROS and n_hit < N_BUCKETS:
+        est = N_BUCKETS * LC_TABLE_MICROS[n_hit]
+    return est
+
+
+@pytest.mark.parametrize("n_distinct", [40, 1200, 20000])
+def test_hll_estimate_accuracy_band(ray_session, n_distinct):
+    # duplicated values must not move the sketch: each value appears twice
+    vals = [f"u{i}" for i in range(n_distinct)] * 2
+    ds = ray.data.from_arrow(pa.table({
+        "g": ["x"] * len(vals), "v": vals})).repartition(8)
+    out = hll_estimate(ds, "v", "g")
+    est = out["distinct_est_micros"][0].as_py() / 1e6
+    assert est == pytest.approx(_reference_estimate(
+        [f"u{i}" for i in range(n_distinct)]) / 1e6)
+    # HLL-256 error band (~6.5% sigma); allow 3 sigma plus LC transition
+    assert abs(est / n_distinct - 1) < 0.20, est
+
+
+def test_hll_registers_merge_invariant_under_partitioning(ray_session):
+    vals = [f"doc{i % 500}" for i in range(2000)]
+    tbl = pa.table({"g": ["a" if i % 3 else "b" for i in range(2000)],
+                    "v": vals})
+
+    def regs(n_parts):
+        ds = ray.data.from_arrow(tbl).repartition(n_parts)
+        t = pa.Table.from_pylist(
+            hll_registers(ds, "v", "g").take_all()).sort_by(
+                [("g", "ascending"), ("bucket", "ascending")])
+        return t.to_pydict()
+
+    assert regs(1) == regs(16)
+
+
+def test_inverted_index_matches_bruteforce(ray_session):
+    from unravel_ray.textstats import inverted_index
+
+    docs = [(1, "alpha beta gamma"), (2, "beta beta delta"),
+            (3, "Gamma, ALPHA!"), (4, None), (5, "epsilon")]
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": pa.array([t for _, t in docs], pa.string())})
+    out = pa.Table.from_pylist(
+        inverted_index(ray.data.from_arrow(tbl).repartition(4))
+        .take_all()).sort_by("word")
+    got = {r["word"]: (r["df"], r["postings"]) for r in out.to_pylist()}
+    assert got == {
+        "alpha": (2, "1,3"),
+        "beta": (2, "1,2"),
+        "delta": (1, "2"),
+        "epsilon": (1, "5"),
+        "gamma": (2, "1,3"),
+    }
+
+
+def test_inverted_index_min_df(ray_session):
+    from unravel_ray.textstats import inverted_index
+
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["a b", "a c"], pa.string())})
+    out = pa.Table.from_pylist(
+        inverted_index(ray.data.from_arrow(tbl), min_df=2).take_all())
+    assert out["word"].to_pylist() == ["a"]
+
+
+def test_tfidf_rank_zero_df_term_contributes_nothing(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from unravel_ray.relational import tfidf_rank
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["query query stream", "stream", "nothing here"],
+                         pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = tfidf_rank(str(tmp_path), terms=("query", "zzz_absent"), k=10)
+    # df(query)=1 of 3 docs -> idf = 3_000_000; absent term must add 0
+    assert out.to_pydict() == {"doc_id": [1], "score_micros": [6_000_000]}

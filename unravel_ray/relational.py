@@ -390,6 +390,68 @@ def search_fuzzy(sf_dir: str, query: str = "hashe mergee",
     return merged.take(idx[:k])
 
 
+def tfidf_rank(sf_dir: str, terms: tuple[str, ...] = ("query", "stream", "window"),
+               k: int = 20) -> "pa.Table":
+    """TF-IDF ranked retrieval: corpus-statistics-weighted term scoring,
+    the step up from search_content's raw term frequency.
+
+    Deterministic integer contract (no log, no floats — both engines run
+    the identical arithmetic): idf_micros(t) = N * 1_000_000 // df(t)
+    (0 when df = 0), score_micros(d) = sum_t tf(t, d) * idf_micros(t),
+    where tf is the RE2 word-boundary occurrence count in lower(text).
+    Top-k by (score DESC, doc_id ASC).
+
+    Scale shape: pass 1 computes (N, df per term) as ONE slim partial row
+    per batch (driver sees #batches rows for a fixed term set); the idf
+    weights are plain closure constants in pass 2 (a broadcast-once
+    lookup, not a join); pass 2 is a vectorized scoring scan with
+    per-batch partial top-k — the driver merge sees <= #batches x k rows.
+    """
+    import re as _re
+
+    pats = [rf"\b{_re.escape(t)}\b" for t in terms]
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.fill_null(batch["text"], ""))
+        cols = {"n": pa.array([batch.num_rows], pa.int64())}
+        for i, pat in enumerate(pats):
+            hit = pc.greater(pc.count_substring_regex(low, pat), 0)
+            cols[f"df{i}"] = pa.array(
+                [pc.sum(pc.cast(hit, pa.int64())).as_py() or 0], pa.int64())
+        return pa.table(cols)
+
+    parts = pa.Table.from_pylist(
+        ds.map_batches(df_partial, batch_format="pyarrow").take_all())
+    n_docs = pc.sum(parts["n"]).as_py() or 0
+    idf = []
+    for i in range(len(terms)):
+        df = pc.sum(parts[f"df{i}"]).as_py() or 0
+        idf.append(n_docs * 1_000_000 // df if df else 0)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.fill_null(batch["text"], ""))
+        s = None
+        for pat, w in zip(pats, idf):
+            c = pc.multiply(
+                pc.cast(pc.count_substring_regex(low, pat), pa.int64()),
+                pa.scalar(w, pa.int64()))
+            s = c if s is None else pc.add(s, c)
+        t = pa.table({"doc_id": batch["doc_id"], "score_micros": s}).filter(
+            pc.greater(s, 0))
+        idx = pc.sort_indices(t, sort_keys=[
+            ("score_micros", "descending"), ("doc_id", "ascending")])
+        return t.take(idx[:k])
+
+    merged = pa.Table.from_pylist(
+        ds.map_batches(score_batch, batch_format="pyarrow").take_all(),
+        schema=pa.schema([("doc_id", pa.int64()),
+                          ("score_micros", pa.int64())]))
+    idx = pc.sort_indices(merged, sort_keys=[
+        ("score_micros", "descending"), ("doc_id", "ascending")])
+    return merged.take(idx[:k])
+
+
 # ---------------------------------------------------------------------------
 # filtered listing — filter params + sort + page
 # ---------------------------------------------------------------------------

@@ -365,3 +365,67 @@ def vocab_top_words(ds: Dataset, k: int = 50,
     idx = pc.sort_indices(merged, sort_keys=[
         ("n_occurrences", "descending"), ("word", "ascending")])
     return merged.take(idx[:k])
+
+
+def inverted_index(ds: Dataset, min_df: int = 1, n_blocks: int = 64,
+                   text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """Distributed inverted-index build: (word, df, postings) rows where
+    ``postings`` is the comma-joined ascending doc-id list — the
+    search-sink payload a retrieval system bulk-loads.
+
+    Scale shape: per-batch DISTINCT (word, doc) pairs (Arrow split /
+    flatten / parent-indices kernels; crc32 block ids assigned once per
+    dictionary word, not per row) -> groupby over a FIXED block count
+    (crc32(word) % n_blocks — the tiny-group scheduling fix, see
+    dedup.py banded grouping) -> per-block vectorized run-length fold.
+    The shuffle moves exactly the index's own payload (two slim columns)
+    once; per-task memory is bounded by the postings of one word-block,
+    so n_blocks scales with vocabulary, never with corpus row count.
+    """
+    import zlib
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.fill_null(batch[text_col], ""))
+        lists = pc.split_pattern_regex(low, "[^a-z]+")
+        words = pc.list_flatten(lists)
+        docs = batch[id_col].take(pc.list_parent_indices(lists))
+        t = pa.table({"word": words, "doc": docs}).filter(
+            pc.not_equal(words, ""))
+        d = t.group_by(["word", "doc"]).aggregate([]).replace_schema_metadata(None)
+        enc = pc.dictionary_encode(d["word"]).combine_chunks()
+        vocab = enc.dictionary.to_pylist()
+        blk = np.array([zlib.crc32(w.encode()) % n_blocks for w in vocab],
+                       np.int64) if vocab else np.empty(0, np.int64)
+        return d.append_column(
+            "blk", pa.array(blk[np.asarray(enc.indices)], pa.int64()))
+
+    def fold(group: pa.Table) -> pa.Table:
+        # cross-batch dupes survive the partial dedupe; final dedupe here
+        d = group.select(["word", "doc"]).group_by(
+            ["word", "doc"]).aggregate([])
+        if d.num_rows == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "postings": pa.array([], pa.string())})
+        d = d.take(pc.sort_indices(d, sort_keys=[
+            ("word", "ascending"), ("doc", "ascending")]))
+        words = d["word"].combine_chunks().to_numpy(zero_copy_only=False)
+        docs = d["doc"].combine_chunks().to_numpy()
+        starts = np.flatnonzero(np.r_[True, words[1:] != words[:-1]])
+        ends = np.r_[starts[1:], len(words)]
+        out_w, out_df, out_p = [], [], []
+        for s, e in zip(starts, ends):  # one iteration per vocab word
+            if e - s < min_df:
+                continue
+            out_w.append(words[s])
+            out_df.append(e - s)
+            out_p.append(",".join(map(str, docs[s:e])))
+        return pa.table({"word": pa.array(out_w, pa.string()),
+                         "df": pa.array(out_df, pa.int64()),
+                         "postings": pa.array(out_p, pa.string())})
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("blk")
+        .map_groups(fold, batch_format="pyarrow")
+    )
