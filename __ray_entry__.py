@@ -520,6 +520,24 @@ def _tfidf_rank(sf_dir: str):
     return tfidf_rank(sf_dir)
 
 
+def _dataset_splits(sf_dir: str):
+    """Deterministic stratified train/val/test split accounting (see
+    textstats.assign_splits: split byte = sha256('split:'+id)[:2])."""
+    import ray.data
+
+    from unravel_ray.textstats import split_accounting
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    return split_accounting(ds)
+
+
+def _bloom_semijoin(sf_dir: str):
+    from unravel_ray.relational import bloom_semijoin_stats
+
+    return bloom_semijoin_stats(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """EVERY oracle-backed entry comes FIRST (the driver checks queries in
     dict order and has been observed to stop at a fixed count — r2 left 6
@@ -584,6 +602,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": _distinct_users_hll,
         "inverted_index": _inverted_index,
         "tfidf_rank": _tfidf_rank,
+        "dataset_splits": _dataset_splits,
+        "bloom_semijoin": _bloom_semijoin,
         # P31 universal-hash family: signatures/buckets reproduced verbatim
         # by DuckDB (see _minhash_base_cte and friends)
         "minhash_pairs": _minhash_pairs,
@@ -689,6 +709,65 @@ def _hll_sql() -> str:
                ex.exact_distinct
         FROM raw JOIN ex ON raw.g = ex.g
         ORDER BY event_type
+    """
+
+
+def _splits_sql() -> str:
+    """Stratified split accounting from the same sha256 gate + threshold
+    constants as textstats.assign_splits."""
+    from unravel_ray.textstats import SPLIT_THRESHOLDS
+
+    lo, hi = SPLIT_THRESHOLDS
+    s = "sha256('split:' || CAST(doc_id AS VARCHAR))"
+    b = (f"(16*({_HEXVAL.format(s=s, i=1)})"
+         f" + ({_HEXVAL.format(s=s, i=2)}))")
+    return f"""
+        WITH a AS (SELECT lang, n_chars,
+            CASE WHEN {b} < {lo} THEN 'train'
+                 WHEN {b} < {hi} THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents)
+        SELECT split, lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM a GROUP BY split, lang
+    """
+
+
+def _bloom_sql(segment: str = "BUILDING") -> str:
+    """The Bloom semi-join contract in SQL — the filter, INCLUDING its
+    deterministic false positives, reproduced from the same sha256
+    position function (first 4 hex chars) and hash count as
+    relational.bloom_build/_bloom_pos."""
+    from unravel_ray.relational import BLOOM_HASHES
+
+    def pos(expr: str) -> str:
+        s = f"sha256({expr})"
+        return (f"(4096*({_HEXVAL.format(s=s, i=1)})"
+                f" + 256*({_HEXVAL.format(s=s, i=2)})"
+                f" + 16*({_HEXVAL.format(s=s, i=3)})"
+                f" + ({_HEXVAL.format(s=s, i=4)}))")
+
+    js = "[" + ",".join(str(j) for j in range(BLOOM_HASHES)) + "]"
+    build_key = "'bloom' || CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)"
+    probe_key = "'bloom' || CAST(j AS VARCHAR) || ':' || CAST(x AS VARCHAR)"
+    return f"""
+        WITH js AS (SELECT unnest({js}) AS j),
+        bk AS (SELECT DISTINCT c_custkey AS k FROM customer
+               WHERE c_mktsegment = '{segment}'),
+        bits AS (SELECT DISTINCT {pos(build_key)} AS p FROM bk CROSS JOIN js),
+        px AS (SELECT DISTINCT o_custkey AS x FROM orders),
+        pj AS (SELECT x, {pos(probe_key)} AS p FROM px CROSS JOIN js),
+        passing AS (SELECT x FROM pj GROUP BY x
+                    HAVING bool_and(p IN (SELECT p FROM bits))),
+        agg AS (SELECT
+          CAST(COUNT(*) AS BIGINT) AS n_probe,
+          CAST(COUNT(*) FILTER (WHERE o_custkey IN (SELECT x FROM passing)) AS BIGINT) AS n_pass_bloom,
+          CAST(COUNT(*) FILTER (WHERE o_custkey IN (SELECT k FROM bk)) AS BIGINT) AS n_true_match
+          FROM orders)
+        SELECT n_probe, n_pass_bloom, n_true_match,
+               n_pass_bloom - n_true_match AS n_false_positive,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set
+        FROM agg
     """
 
 
@@ -1962,4 +2041,6 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY word
         """,
         "tfidf_rank": _tfidf_sql(),
+        "dataset_splits": _splits_sql(),
+        "bloom_semijoin": _bloom_sql(),
     }

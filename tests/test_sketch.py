@@ -97,6 +97,46 @@ def test_inverted_index_min_df(ray_session):
     assert out["word"].to_pylist() == ["a"]
 
 
+def test_bloom_prefilter_no_false_negatives(ray_session):
+    from unravel_ray.relational import bloom_build, bloom_prefilter
+
+    keys = pa.table({"k": pa.array([f"key{i}" for i in range(0, 100, 2)],
+                                   pa.string())})
+    bits = bloom_build(ray.data.from_arrow(keys).repartition(4), "k")
+    probe = pa.table({"k": pa.array([f"key{i}" for i in range(100)],
+                                    pa.string()),
+                      "x": pa.array(range(100), pa.int64())})
+    kept = pa.Table.from_pylist(
+        bloom_prefilter(ray.data.from_arrow(probe), "k", bits).take_all())
+    kept_keys = set(kept["k"].to_pylist())
+    # every build key must survive (Bloom guarantees zero false negatives)
+    assert {f"key{i}" for i in range(0, 100, 2)} <= kept_keys
+    # and the filter is deterministic: same bits -> same kept set
+    kept2 = pa.Table.from_pylist(
+        bloom_prefilter(ray.data.from_arrow(probe).repartition(8), "k",
+                        bits).take_all())
+    assert set(kept2["k"].to_pylist()) == kept_keys
+
+
+def test_assign_splits_deterministic_and_stratified(ray_session):
+    from unravel_ray.textstats import assign_splits
+
+    tbl = pa.table({"doc_id": pa.array(range(2000), pa.int64())})
+
+    def splits(n_parts):
+        out = pa.Table.from_pylist(
+            assign_splits(ray.data.from_arrow(tbl).repartition(n_parts))
+            .take_all()).sort_by("doc_id")
+        return out["split"].to_pylist()
+
+    a = splits(1)
+    assert a == splits(16)  # partition-invariant assignment
+    frac_train = a.count("train") / len(a)
+    frac_val = a.count("val") / len(a)
+    assert 0.75 < frac_train < 0.85
+    assert 0.07 < frac_val < 0.14
+
+
 def test_tfidf_rank_zero_df_term_contributes_nothing(ray_session, tmp_path):
     import pyarrow.parquet as pq
 

@@ -594,6 +594,119 @@ def orders_by_segment(sf_dir: str) -> Dataset:
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter semi-join prefilter (the at-scale map-side join optimizer)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16
+BLOOM_HASHES = 3
+
+
+def _bloom_pos(key: str, j: int) -> int:
+    import hashlib
+
+    return int(hashlib.sha256(f"bloom{j}:{key}".encode()).hexdigest()[:4], 16)
+
+
+def bloom_build(keys_ds: Dataset, key_col: str) -> np.ndarray:
+    """Distributed Bloom-filter build: per-batch partial bitsets (one
+    8 KiB binary row per batch) OR-merged on the driver. The merge is
+    associative, so at 10^12 rows the same partials fold per node before
+    the driver sees them; the driver never sees keys, only fixed-size
+    bitsets."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(BLOOM_BITS // 8, np.uint8)
+        for k in pc.unique(pc.cast(batch[key_col], pa.string())).to_pylist():
+            for j in range(BLOOM_HASHES):
+                p = _bloom_pos(k, j)
+                bits[p >> 3] |= np.uint8(1 << (p & 7))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    out = np.zeros(BLOOM_BITS // 8, np.uint8)
+    for row in keys_ds.map_batches(partial, batch_format="pyarrow").take_all():
+        out |= np.frombuffer(row["bits"], np.uint8)
+    return out
+
+
+def bloom_prefilter(ds: Dataset, key_col: str, bits: np.ndarray) -> Dataset:
+    """Map-side semi-join prefilter: keep rows whose key passes the Bloom
+    test (all BLOOM_HASHES positions set). Broadcast-once via ray.put;
+    the big side never shuffles — the point of the operator: at 100 TB a
+    semi join against a modest build side costs one scan plus an 8 KiB
+    broadcast instead of an all-to-all exchange. False positives (bounded
+    by the m/n ratio) are for the consumer to resolve exactly."""
+    bits_ref = ray.put(bits)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)
+        keys = pc.cast(batch[key_col], pa.string())
+        uniq = pc.unique(keys).to_pylist()
+        ok = {}
+        for k in uniq:
+            ok[k] = all(
+                b[(p := _bloom_pos(k, j)) >> 3] & (1 << (p & 7))
+                for j in range(BLOOM_HASHES))
+        mask = pa.array([ok[k] for k in keys.to_pylist()], pa.bool_())
+        return batch.filter(mask)
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def bloom_semijoin_stats(sf_dir: str, segment: str = "BUILDING") -> "pa.Table":
+    """Accounting for the Bloom prefilter on orders ⋉ customer(segment):
+    one row (n_probe, n_pass_bloom, n_true_match, n_false_positive,
+    bits_set). Every number is a deterministic integer function of the
+    sha256 bloom contract, so DuckDB reproduces the filter — including
+    its false positives — bit for bit."""
+    def seg_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["c_mktsegment"], segment))
+
+    build = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        seg_only, batch_format="pyarrow")
+    bits = bloom_build(build, "c_custkey")
+    bits_set = int(np.unpackbits(bits).sum())
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    true_keys = set(
+        cust.filter(pc.equal(cust["c_mktsegment"], segment))
+        ["c_custkey"].to_pylist())
+    keys_ref = ray.put(true_keys)
+    bits_ref = ray.put(bits)
+
+    def probe_partial(batch: pa.Table) -> pa.Table:
+        b = ray.get(bits_ref)
+        tk = ray.get(keys_ref)
+        ks = batch["o_custkey"].to_pylist()
+        memo = {}
+        for k in set(ks):
+            memo[k] = all(
+                b[(p := _bloom_pos(str(k), j)) >> 3] & (1 << (p & 7))
+                for j in range(BLOOM_HASHES))
+        n_pass = sum(memo[k] for k in ks)
+        n_true = sum(k in tk for k in ks)
+        return pa.table({"n_probe": pa.array([len(ks)], pa.int64()),
+                         "n_pass": pa.array([n_pass], pa.int64()),
+                         "n_true": pa.array([n_true], pa.int64())})
+
+    parts = pa.Table.from_pylist(
+        _pq(sf_dir, "orders", ["o_custkey"])
+        .map_batches(probe_partial, batch_format="pyarrow").take_all())
+    n_probe = pc.sum(parts["n_probe"]).as_py() or 0
+    n_pass = pc.sum(parts["n_pass"]).as_py() or 0
+    n_true = pc.sum(parts["n_true"]).as_py() or 0
+    return pa.table({
+        "n_probe": pa.array([n_probe], pa.int64()),
+        "n_pass_bloom": pa.array([n_pass], pa.int64()),
+        "n_true_match": pa.array([n_true], pa.int64()),
+        "n_false_positive": pa.array([n_pass - n_true], pa.int64()),
+        "bits_set": pa.array([bits_set], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
 # O3/D1 — first event per user
 # ---------------------------------------------------------------------------
 

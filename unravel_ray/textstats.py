@@ -367,6 +367,48 @@ def vocab_top_words(ds: Dataset, k: int = 50,
     return merged.take(idx[:k])
 
 
+SPLIT_THRESHOLDS = (204, 230)  # /256 of the hash byte: ~80/10/10
+
+
+def assign_splits(ds: Dataset, id_col: str = "doc_id") -> Dataset:
+    """Deterministic train/val/test assignment for corpus curation: the
+    split byte is int(sha256('split:' + str(id))[:2], 16), so membership
+    is a pure function of the row id — invariant under engine,
+    parallelism, re-runs, and corpus growth (a new doc never moves an
+    old one between splits; the property a 100 TB curation pipeline
+    needs for stable held-out sets). Same sha256-gate technique as
+    relational.sample_documents."""
+    lo, hi = SPLIT_THRESHOLDS
+
+    def add(batch: pa.Table) -> pa.Table:
+        ids = [str(x) for x in batch[id_col].to_pylist()]
+        b = np.fromiter(
+            (int(hashlib.sha256(f"split:{i}".encode()).hexdigest()[:2], 16)
+             for i in ids), np.int64, len(ids))
+        split = np.where(b < lo, "train", np.where(b < hi, "val", "test"))
+        return batch.append_column("split", pa.array(split.tolist(),
+                                                     pa.string()))
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def split_accounting(ds: Dataset, id_col: str = "doc_id") -> Dataset:
+    """Per-(split, lang) doc count + char total — the stratification
+    report for a train/val/test split. Slim grouped sum after the
+    map-side assignment."""
+    assigned = assign_splits(ds, id_col=id_col)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return batch.select(["split", "lang", "n_chars"])
+
+    return (
+        assigned.map_batches(slim, batch_format="pyarrow")
+        .groupby(["split", "lang"])
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_chars", alias_name="total_chars"))
+    )
+
+
 def inverted_index(ds: Dataset, min_df: int = 1, n_blocks: int = 64,
                    text_col: str = "text", id_col: str = "doc_id") -> Dataset:
     """Distributed inverted-index build: (word, df, postings) rows where
