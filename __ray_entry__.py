@@ -538,6 +538,35 @@ def _bloom_semijoin(sf_dir: str):
     return bloom_semijoin_stats(sf_dir)
 
 
+def _gopher_quality(sf_dir: str):
+    """Gopher-style repetition filters (duplicate-word mass, top-2-gram
+    character coverage, keep flag) — exact integer micro-ratios."""
+    import ray.data
+
+    from unravel_ray.textstats import gopher_quality
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(16)
+    return gopher_quality(ds).select_columns([
+        "doc_id", "n_words", "n_distinct_words", "dup_word_frac_micros",
+        "top_bigram", "top_bigram_cnt", "top_bigram_frac_micros",
+        "gopher_keep"])
+
+
+def _decontaminate(sf_dir: str):
+    """Benchmark decontamination: 3-gram overlap of training docs
+    (doc_id % 50 != 0) against the broadcast eval shingle set."""
+    import ray.data
+
+    from unravel_ray.textstats import decontaminate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(16)
+    return decontaminate(ds, eval_mod=50, n=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """EVERY oracle-backed entry comes FIRST (the driver checks queries in
     dict order and has been observed to stop at a fixed count — r2 left 6
@@ -604,6 +633,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_rank": _tfidf_rank,
         "dataset_splits": _dataset_splits,
         "bloom_semijoin": _bloom_semijoin,
+        "gopher_quality": _gopher_quality,
+        "decontaminate": _decontaminate,
         # P31 universal-hash family: signatures/buckets reproduced verbatim
         # by DuckDB (see _minhash_base_cte and friends)
         "minhash_pairs": _minhash_pairs,
@@ -2043,4 +2074,61 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_rank": _tfidf_sql(),
         "dataset_splits": _splits_sql(),
         "bloom_semijoin": _bloom_sql(),
+        "gopher_quality": r"""
+            WITH d AS (SELECT doc_id, lower(COALESCE(text, '')) lt FROM documents),
+            w AS (SELECT doc_id, CAST(length(lt) AS BIGINT) AS n_chars,
+                         regexp_extract_all(lt, '\S+') AS ws FROM d),
+            base AS (SELECT doc_id, n_chars, CAST(len(ws) AS BIGINT) AS n_words,
+                            CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+                            ws FROM w),
+            bg AS (SELECT doc_id, s FROM (
+                    SELECT doc_id, unnest(list_transform(
+                           generate_series(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i + 1])) AS s
+                    FROM base WHERE len(ws) >= 2)),
+            bc AS (SELECT doc_id, s, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+            top AS (SELECT doc_id, s, cnt,
+                           row_number() OVER (PARTITION BY doc_id
+                             ORDER BY cnt DESC, s) AS rn FROM bc),
+            f AS (
+              SELECT b.doc_id, b.n_words, b.n_distinct_words,
+                     CAST((b.n_words - b.n_distinct_words) * 1000000
+                          // greatest(b.n_words, 1) AS BIGINT) AS dup_word_frac_micros,
+                     COALESCE(t.s, '') AS top_bigram,
+                     CAST(COALESCE(t.cnt, 0) AS BIGINT) AS top_bigram_cnt,
+                     CAST(COALESCE(t.cnt * length(t.s), 0) * 1000000
+                          // greatest(b.n_chars, 1) AS BIGINT) AS top_bigram_frac_micros
+              FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id AND t.rn = 1)
+            SELECT *, CAST(CASE WHEN dup_word_frac_micros < 600000
+                                 AND top_bigram_frac_micros < 100000
+                                THEN 1 ELSE 0 END AS BIGINT) AS gopher_keep
+            FROM f
+        """,
+        "decontaminate": r"""
+            WITH w AS (SELECT doc_id,
+                              regexp_extract_all(lower(COALESCE(text, '')), '\S+') AS ws
+                       FROM documents),
+            sh AS (SELECT DISTINCT doc_id, s FROM (
+                    SELECT doc_id, unnest(list_transform(
+                           generate_series(1, len(ws) - 2),
+                           i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS s
+                    FROM w WHERE len(ws) >= 3)),
+            ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+            agg AS (SELECT t.doc_id,
+                           CAST(COUNT(*) AS BIGINT) AS n_sh,
+                           CAST(SUM(CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_cont
+                    FROM sh t LEFT JOIN ev e USING (s)
+                    WHERE t.doc_id % 50 <> 0 GROUP BY t.doc_id)
+            SELECT w.doc_id,
+                   COALESCE(a.n_sh, 0) AS n_shingles,
+                   COALESCE(a.n_cont, 0) AS n_contaminated,
+                   CAST(COALESCE(a.n_cont, 0) * 1000000
+                        // greatest(COALESCE(a.n_sh, 0), 1) AS BIGINT)
+                     AS contamination_micros,
+                   CAST(CASE WHEN COALESCE(a.n_cont, 0) > 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS contaminated
+            FROM w LEFT JOIN agg a ON w.doc_id = a.doc_id
+            WHERE w.doc_id % 50 <> 0
+        """,
     }

@@ -226,3 +226,77 @@ def test_vocab_top_words_rank_and_ties(ray_session):
         {"word": "b", "n_occurrences": 3},
         {"word": "c", "n_occurrences": 1},
     ]
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition filters + benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def test_gopher_quality_edge_cases(ray_session):
+    from unravel_ray.textstats import gopher_quality
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": [
+            "a a a a a a",          # one repeated word: max dup + max bigram
+            "",                      # empty
+            "one",                   # single word: no bigram
+            "x y x y z",             # 'x y' twice (5 chars x 2 of 9 chars)
+        ],
+    }))
+    out = {r["doc_id"]: r for r in gopher_quality(ds).take_all()}
+    assert out[0]["n_words"] == 6 and out[0]["n_distinct_words"] == 1
+    assert out[0]["dup_word_frac_micros"] == 5 * 1_000_000 // 6
+    assert out[0]["top_bigram"] == "a a" and out[0]["top_bigram_cnt"] == 5
+    assert out[0]["gopher_keep"] == 0
+    assert out[1]["n_words"] == 0 and out[1]["top_bigram"] == ""
+    assert out[1]["dup_word_frac_micros"] == 0 and out[1]["gopher_keep"] == 1
+    assert out[2]["top_bigram_cnt"] == 0
+    assert out[3]["top_bigram"] == "x y"
+    assert out[3]["top_bigram_frac_micros"] == 2 * 3 * 1_000_000 // 9
+
+
+def test_gopher_bigram_tiebreak_lexicographic(ray_session):
+    from unravel_ray.textstats import gopher_quality
+
+    # 'b c' and 'a b' both occur once; lexicographically smaller wins
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()), "text": ["a b c"]}))
+    row = gopher_quality(ds).take_all()[0]
+    assert row["top_bigram"] == "a b"
+
+
+def test_decontaminate_flags_planted_overlap(ray_session):
+    from unravel_ray.textstats import decontaminate
+
+    # doc 0 is EVAL (0 % 5 == 0); doc 6 copies its trigram; doc 7 doesn't
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 6, 7, 8], pa.int64()),
+        "text": [
+            "alpha beta gamma delta",
+            "zz alpha beta gamma yy",   # shares 'alpha beta gamma'
+            "zz qq rr ss",
+            "a b",                       # fewer than n words: 0 shingles
+        ],
+    }))
+    out = {r["doc_id"]: r for r in
+           decontaminate(ds, eval_mod=5, n=3).take_all()}
+    assert set(out) == {6, 7, 8}  # eval doc excluded from the output
+    assert out[6]["n_contaminated"] == 1 and out[6]["contaminated"] == 1
+    assert out[6]["n_shingles"] == 3
+    assert out[6]["contamination_micros"] == 1_000_000 // 3
+    assert out[7]["n_contaminated"] == 0 and out[7]["contaminated"] == 0
+    assert out[8]["n_shingles"] == 0 and out[8]["contamination_micros"] == 0
+
+
+def test_decontaminate_eval_guard(ray_session):
+    import pytest
+
+    from unravel_ray.textstats import decontaminate
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 5], pa.int64()),
+        "text": ["one two three four five six", "seven eight nine ten"],
+    }))
+    with pytest.raises(ValueError, match="eval shingle set"):
+        decontaminate(ds, eval_mod=5, n=3, max_eval_shingles=2)

@@ -471,3 +471,188 @@ def inverted_index(ds: Dataset, min_df: int = 1, n_blocks: int = 64,
         .groupby("blk")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style repetition filters — training-corpus quality gates
+# ---------------------------------------------------------------------------
+
+def _flat_words(text: pa.ChunkedArray | pa.Array):
+    """(lowered_text, flat_word_array, parent_row_indices) for one batch:
+    non-empty whitespace tokens of lower(text), flattened with their row
+    positions — the shared substrate for n-gram construction."""
+    low = pc.utf8_lower(pc.fill_null(text, ""))
+    lists = pc.split_pattern_regex(low, r"\s+")
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    parent = parent.filter(mask)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if isinstance(parent, pa.ChunkedArray):
+        parent = parent.combine_chunks()
+    return low, flat, parent.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _ngrams(flat: pa.Array, parent: np.ndarray, n: int):
+    """Space-joined n-grams of adjacent same-row words, fully vectorized:
+    n shifted slices of the flat word array joined element-wise, rows
+    where the window crosses a document boundary masked out. Returns
+    (ngram_string_array, row_index_array)."""
+    m = len(flat) - (n - 1)
+    if m <= 0:
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    shifted = [flat.slice(i, m) for i in range(n)]
+    grams = pc.binary_join_element_wise(*shifted, " ")
+    valid = parent[:m] == parent[n - 1:]
+    return grams.filter(pa.array(valid)), parent[:m][valid]
+
+
+def gopher_quality(ds: Dataset, text_col: str = "text",
+                   dup_keep_below: int = 600_000,
+                   top_keep_below: int = 100_000) -> Dataset:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    repetition filters, adapted to this corpus's single-line documents):
+
+    * ``dup_word_frac_micros``  — (n_words - n_distinct_words) * M // n_words:
+      the mass of repeated tokens (Gopher's duplicate-line fraction analog).
+    * ``top_bigram_frac_micros`` — chars covered by the most frequent word
+      2-gram (count x len(bigram)) * M // n_chars: Gopher's "fraction of
+      characters in the most common 2-gram". Ties break to the
+      lexicographically smallest bigram, so the winner is deterministic.
+    * ``gopher_keep`` — 1 when both fractions sit under their thresholds
+      (documents dominated by repetition are dropped from training data).
+
+    All fractions are EXACT integer micro-ratios (hash-stable vs the
+    DuckDB oracle). Per-batch and embarrassingly parallel: word/bigram
+    tallies are Arrow group_by kernels inside the batch, nothing shuffles.
+    """
+
+    def features(batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        low, flat, parent = _flat_words(batch[text_col])
+        n_chars = pc.cast(pc.utf8_length(low), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n_words = np.bincount(parent, minlength=nrows).astype(np.int64)
+
+        distinct_pairs = pa.table({"d": parent, "w": flat}).group_by(
+            ["d", "w"]).aggregate([])
+        n_distinct = np.bincount(
+            distinct_pairs["d"].combine_chunks().to_numpy(),
+            minlength=nrows).astype(np.int64)
+
+        grams, gdocs = _ngrams(flat, parent, 2)
+        top_big = np.full(nrows, "", dtype=object)
+        top_cnt = np.zeros(nrows, dtype=np.int64)
+        if len(grams):
+            bc = pa.table({"d": gdocs, "s": grams}).group_by(
+                ["d", "s"]).aggregate([("s", "count")])
+            idx = pc.sort_indices(bc, sort_keys=[
+                ("d", "ascending"), ("s_count", "descending"),
+                ("s", "ascending")])
+            bc = bc.take(idx)
+            dcol = bc["d"].combine_chunks().to_numpy()
+            firsts = np.flatnonzero(np.r_[True, dcol[1:] != dcol[:-1]])
+            rows = dcol[firsts]
+            top_big[rows] = np.asarray(
+                bc["s"].combine_chunks().to_numpy(zero_copy_only=False)
+            )[firsts]
+            top_cnt[rows] = bc["s_count"].combine_chunks().to_numpy()[firsts]
+
+        nw1 = np.maximum(n_words, 1)
+        nc1 = np.maximum(n_chars, 1)
+        dup_micros = (n_words - n_distinct) * MICRO // nw1
+        big_len = np.fromiter((len(b) for b in top_big), np.int64, nrows)
+        top_micros = top_cnt * big_len * MICRO // nc1
+        keep = ((dup_micros < dup_keep_below)
+                & (top_micros < top_keep_below)).astype(np.int64)
+        return (
+            batch.append_column("n_words", pa.array(n_words, pa.int64()))
+            .append_column("n_distinct_words", pa.array(n_distinct, pa.int64()))
+            .append_column("dup_word_frac_micros", pa.array(dup_micros, pa.int64()))
+            .append_column("top_bigram", pa.array(top_big.tolist(), pa.string()))
+            .append_column("top_bigram_cnt", pa.array(top_cnt, pa.int64()))
+            .append_column("top_bigram_frac_micros", pa.array(top_micros, pa.int64()))
+            .append_column("gopher_keep", pa.array(keep, pa.int64()))
+        )
+
+    return ds.map_batches(features, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination — eval n-gram overlap against training docs
+# ---------------------------------------------------------------------------
+
+def decontaminate(ds: Dataset, eval_mod: int = 50, n: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  max_eval_shingles: int = 5_000_000) -> Dataset:
+    """Benchmark decontamination: flag training documents sharing word
+    n-grams with a held-out eval set (the pre-training hygiene step that
+    keeps benchmark text out of the corpus — GPT-3 appendix C / PaLM §7
+    style n-gram overlap).
+
+    Eval membership here is the deterministic stand-in ``id % eval_mod
+    == 0``; in production the eval side is the fixed benchmark suite. The
+    scale shape relies on exactly that asymmetry: eval shingle sets are
+    small and FIXED-SIZE (benchmarks are megabytes; they do not grow with
+    the corpus), so the distinct eval shingles are collected once on the
+    driver (guarded by ``max_eval_shingles`` — raises rather than
+    silently OOMing), broadcast via ``ray.put`` as an Arrow value_set,
+    and every training batch runs one vectorized ``pc.is_in`` hash-probe
+    against it. The 100 TB training side streams; nothing about it ever
+    materializes or shuffles.
+
+    Output per training doc: distinct-shingle count, contaminated-shingle
+    count, exact contamination micro-ratio, and a 0/1 flag.
+    """
+    import ray
+
+    def _mod_mask(ids: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        return ids.to_numpy(zero_copy_only=False) % eval_mod == 0
+
+    def eval_shingles(batch: pa.Table) -> pa.Table:
+        sub = batch.filter(pa.array(_mod_mask(batch[id_col])))
+        if sub.num_rows == 0:
+            return pa.table({"s": pa.array([], pa.string())})
+        _, flat, parent = _flat_words(sub[text_col])
+        grams, _ = _ngrams(flat, parent, n)
+        return pa.table({"s": pc.unique(grams)})
+
+    seen: set[str] = set()
+    for block in ds.map_batches(
+            eval_shingles, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        seen.update(block["s"].to_pylist())
+        if len(seen) > max_eval_shingles:
+            raise ValueError(
+                f"eval shingle set exceeded {max_eval_shingles}; the eval "
+                "side of decontamination must be a bounded benchmark set")
+    eval_ref = ray.put(pa.array(sorted(seen), pa.string()))
+
+    def contaminate(batch: pa.Table) -> pa.Table:
+        train = batch.filter(pa.array(~_mod_mask(batch[id_col])))
+        nrows = train.num_rows
+        n_sh = np.zeros(nrows, dtype=np.int64)
+        n_cont = np.zeros(nrows, dtype=np.int64)
+        if nrows:
+            _, flat, parent = _flat_words(train[text_col])
+            grams, gdocs = _ngrams(flat, parent, n)
+            pairs = pa.table({"d": gdocs, "s": grams}).group_by(
+                ["d", "s"]).aggregate([])
+            d = pairs["d"].combine_chunks().to_numpy()
+            n_sh += np.bincount(d, minlength=nrows).astype(np.int64)
+            hit = pc.is_in(pairs["s"].combine_chunks(),
+                           value_set=ray.get(eval_ref))
+            hit_np = hit.to_numpy(zero_copy_only=False).astype(bool)
+            n_cont += np.bincount(d[hit_np], minlength=nrows).astype(np.int64)
+        cont_micros = n_cont * MICRO // np.maximum(n_sh, 1)
+        return pa.table({
+            id_col: train[id_col],
+            "n_shingles": pa.array(n_sh, pa.int64()),
+            "n_contaminated": pa.array(n_cont, pa.int64()),
+            "contamination_micros": pa.array(cont_micros, pa.int64()),
+            "contaminated": pa.array((n_cont > 0).astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(contaminate, batch_format="pyarrow")
