@@ -567,6 +567,33 @@ def _decontaminate(sf_dir: str):
     return decontaminate(ds, eval_mod=50, n=3)
 
 
+def _dup_passages(sf_dir: str):
+    """Cross-doc duplicate-passage detection (Lee et al. 2021 exact
+    substring dedup at 5-word-window granularity): per-doc removable
+    duplicate-window counts + exact micro-fraction."""
+    import ray.data
+
+    from unravel_ray.textstats import dup_passages
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).repartition(16)
+    return dup_passages(ds, k=5)
+
+
+def _domain_mixture(sf_dir: str):
+    """Per-source token budgets -> proportional and sqrt-tempered
+    sampling weights (domain-mixture reweighting), exact micros."""
+    import ray.data
+
+    from unravel_ray.textstats import domain_mixture
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).repartition(16)
+    return domain_mixture(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """EVERY oracle-backed entry comes FIRST (the driver checks queries in
     dict order and has been observed to stop at a fixed count — r2 left 6
@@ -635,6 +662,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin": _bloom_semijoin,
         "gopher_quality": _gopher_quality,
         "decontaminate": _decontaminate,
+        "dup_passages": _dup_passages,
+        "domain_mixture": _domain_mixture,
         # P31 universal-hash family: signatures/buckets reproduced verbatim
         # by DuckDB (see _minhash_base_cte and friends)
         "minhash_pairs": _minhash_pairs,
@@ -2130,5 +2159,51 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS contaminated
             FROM w LEFT JOIN agg a ON w.doc_id = a.doc_id
             WHERE w.doc_id % 50 <> 0
+        """,
+        "dup_passages": r"""
+            WITH w AS (SELECT doc_id,
+                              regexp_extract_all(lower(COALESCE(text, '')), '\S+') AS ws
+                       FROM documents),
+            g AS (SELECT doc_id, i - 1 AS pos,
+                         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                               || ws[i+3] || ' ' || ws[i+4] AS gram
+                  FROM (SELECT doc_id, ws,
+                               unnest(generate_series(1, len(ws) - 4)) AS i
+                        FROM w WHERE len(ws) >= 5)),
+            r AS (SELECT doc_id,
+                         row_number() OVER (PARTITION BY gram
+                                            ORDER BY doc_id, pos) AS rn
+                  FROM g),
+            d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nw,
+                         CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+                              AS BIGINT) AS nd
+                  FROM r GROUP BY doc_id)
+            SELECT w.doc_id,
+                   COALESCE(d.nw, 0) AS n_windows,
+                   COALESCE(d.nd, 0) AS n_dup_windows,
+                   CAST(COALESCE(d.nd, 0) * 1000000
+                        // greatest(COALESCE(d.nw, 0), 1) AS BIGINT)
+                     AS dup_frac_micros
+            FROM w LEFT JOIN d USING (doc_id)
+        """,
+        "domain_mixture": r"""
+            WITH w AS (SELECT source,
+                              CAST(len(regexp_extract_all(
+                                   lower(COALESCE(text, '')), '\S+'))
+                                   AS BIGINT) AS nt
+                       FROM documents),
+            s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                         CAST(SUM(nt) AS BIGINT) AS n_tokens
+                  FROM w GROUP BY source),
+            t AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)))
+                                 AS BIGINT) AS rt FROM s)
+            SELECT source, n_docs, n_tokens,
+                   CAST(n_tokens * 1000000
+                        // greatest((SELECT CAST(SUM(n_tokens) AS BIGINT) FROM t), 1)
+                        AS BIGINT) AS w_prop_micros,
+                   CAST(rt * 1000000
+                        // greatest((SELECT CAST(SUM(rt) AS BIGINT) FROM t), 1)
+                        AS BIGINT) AS w_sqrt_micros
+            FROM t
         """,
     }

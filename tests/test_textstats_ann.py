@@ -300,3 +300,61 @@ def test_decontaminate_eval_guard(ray_session):
     }))
     with pytest.raises(ValueError, match="eval shingle set"):
         decontaminate(ds, eval_mod=5, n=3, max_eval_shingles=2)
+
+
+# ---------------------------------------------------------------------------
+# duplicate-passage detection + domain mixture
+# ---------------------------------------------------------------------------
+
+def test_dup_passages_marks_repeats_after_global_first(ray_session):
+    from unravel_ray.textstats import dup_passages
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": [
+            "a b c d e f g",            # canonical 'a b c d e' at (0,0)
+            "x a b c d e y",            # one copied window
+            "a b c d e a b c d e",      # copy at pos0 AND self-repeat at pos5
+            "short one",                # <k words: zero windows
+        ],
+    }))
+    out = {r["doc_id"]: r for r in dup_passages(ds, k=5).take_all()}
+    assert out[0] == {"doc_id": 0, "n_windows": 3, "n_dup_windows": 0,
+                      "dup_frac_micros": 0}
+    assert out[1]["n_dup_windows"] == 1
+    assert out[1]["dup_frac_micros"] == 1_000_000 // 3
+    assert out[2]["n_windows"] == 6 and out[2]["n_dup_windows"] == 2
+    assert out[3] == {"doc_id": 3, "n_windows": 0, "n_dup_windows": 0,
+                      "dup_frac_micros": 0}
+
+
+def test_dup_passages_within_doc_repeat_counts(ray_session):
+    from unravel_ray.textstats import dup_passages
+
+    # one doc repeating its own 3-gram: 'p q r' at pos 0 and pos 3
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([7], pa.int64()),
+        "text": ["p q r p q r"],
+    }))
+    row = dup_passages(ds, k=3).take_all()[0]
+    assert row["n_windows"] == 4 and row["n_dup_windows"] == 1
+
+
+def test_domain_mixture_weights_exact(ray_session):
+    from unravel_ray.textstats import domain_mixture
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "source": ["s0", "s1", "s0"],
+        "text": ["w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16",
+                 "t1 t2 t3 t4 t5 t6 t7 t8 t9",
+                 "u1"],
+    }))
+    out = {r["source"]: r for r in domain_mixture(ds).take_all()}
+    # s0: 17 tokens, s1: 9; floor sqrt = 4 and 3
+    assert out["s0"]["n_docs"] == 2 and out["s0"]["n_tokens"] == 17
+    assert out["s0"]["w_prop_micros"] == 17 * 1_000_000 // 26
+    assert out["s1"]["w_prop_micros"] == 9 * 1_000_000 // 26
+    assert out["s0"]["w_sqrt_micros"] == 4 * 1_000_000 // 7
+    assert out["s1"]["w_sqrt_micros"] == 3 * 1_000_000 // 7
+    assert out["s0"]["w_prop_micros"] + out["s1"]["w_prop_micros"] <= 1_000_000

@@ -656,3 +656,173 @@ def decontaminate(ds: Dataset, eval_mod: int = 50, n: int = 3,
         })
 
     return ds.map_batches(contaminate, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# duplicate-passage detection — exact substring-window dedup across docs
+# ---------------------------------------------------------------------------
+
+def dup_passages(ds: Dataset, k: int = 5, text_col: str = "text",
+                 id_col: str = "doc_id") -> Dataset:
+    """Cross-document duplicate-passage detection: for every k-word window
+    in every document, mark the window a DUPLICATE when the identical
+    window text occurs anywhere else in the corpus EARLIER in the global
+    (doc_id, position) order — the canonical first occurrence stays, all
+    repeats are removable training-data mass (the exact-substring dedup
+    of Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better", at word-window granularity instead of suffix arrays).
+
+    Ray shape (never all-pairs, never corpus-in-memory):
+      1. per-batch `map_batches`: vectorized k-gram construction
+         (shifted-slice join over the flat word array) emitting SLIM
+         (gram, doc_id, pos) occurrence rows — payload text never
+         shuffles, only k-word windows;
+      2. `groupby(gram)`: each group ranks its occurrences by
+         (doc_id, pos) and emits per-doc duplicate counts (all
+         occurrences after the global first). Group size is the
+         occurrence count of ONE window text — bounded by corpus
+         repetition, not corpus size;
+      3. per-doc window totals (computed batch-locally in pass 1) union
+         the duplicate partials and fold in ONE `groupby(doc_id)` sum.
+
+    At 100 TB the gram strings would be 64-bit-hashed before the shuffle
+    (same universal-hash treatment as the MinHash family); kept verbatim
+    here so the DuckDB oracle is value-exact.
+
+    Output per doc: n_windows, n_dup_windows, dup_frac_micros (exact
+    integer micro-ratio of removable windows).
+    """
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        _, flat, parent = _flat_words(batch[text_col])
+        grams, gdocs = _ngrams(flat, parent, k)
+        ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        # window position within its own document: running index reset at
+        # every document boundary (gdocs is non-decreasing within a batch)
+        if len(gdocs):
+            idx = np.arange(len(gdocs), dtype=np.int64)
+            firsts = np.flatnonzero(np.r_[True, gdocs[1:] != gdocs[:-1]])
+            run_len = np.diff(np.r_[firsts, len(gdocs)])
+            pos = idx - np.repeat(idx[firsts], run_len)
+        else:
+            pos = np.empty(0, np.int64)
+        return pa.table({
+            "gram": grams,
+            id_col: pa.array(ids[gdocs], pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+        })
+
+    def window_totals(batch: pa.Table) -> pa.Table:
+        _, flat, parent = _flat_words(batch[text_col])
+        n_win = np.maximum(
+            np.bincount(parent, minlength=batch.num_rows) - (k - 1), 0
+        ).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col].combine_chunks().cast(pa.int64()),
+            "n_windows": pa.array(n_win, pa.int64()),
+            "n_dup_windows": pa.array(np.zeros(batch.num_rows, np.int64)),
+        })
+
+    def dup_partials(group: pa.Table) -> pa.Table:
+        # one gram text per group; every occurrence after the global
+        # (doc_id, pos) minimum is a duplicate
+        if group.num_rows < 2:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_windows": pa.array([], pa.int64()),
+                "n_dup_windows": pa.array([], pa.int64()),
+            })
+        g = group.sort_by([(id_col, "ascending"), ("pos", "ascending")])
+        d = g[id_col].combine_chunks().to_numpy()
+        dups = np.bincount(np.searchsorted(np.unique(d), d[1:])).astype(np.int64)
+        uniq = np.unique(d)[: len(dups)]
+        keep = dups > 0
+        return pa.table({
+            id_col: pa.array(uniq[keep], pa.int64()),
+            "n_windows": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            "n_dup_windows": pa.array(dups[keep], pa.int64()),
+        })
+
+    occ = ds.map_batches(occurrences, batch_format="pyarrow")
+    dup = occ.groupby("gram").map_groups(dup_partials, batch_format="pyarrow")
+    tot = ds.map_batches(window_totals, batch_format="pyarrow")
+
+    def finalize(group: pa.Table) -> pa.Table:
+        t = group.group_by(id_col).aggregate(
+            [("n_windows", "sum"), ("n_dup_windows", "sum")])
+        nw = t["n_windows_sum"].combine_chunks().to_numpy()
+        nd = t["n_dup_windows_sum"].combine_chunks().to_numpy()
+        return pa.table({
+            id_col: t[id_col],
+            "n_windows": pa.array(nw, pa.int64()),
+            "n_dup_windows": pa.array(nd, pa.int64()),
+            "dup_frac_micros": pa.array(nd * MICRO // np.maximum(nw, 1),
+                                        pa.int64()),
+        })
+
+    return tot.union(dup).groupby(id_col).map_groups(
+        finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# domain mixture — per-source token budgets -> sampling weights
+# ---------------------------------------------------------------------------
+
+def domain_mixture(ds: Dataset, source_col: str = "source",
+                   text_col: str = "text") -> Dataset:
+    """Per-domain token accounting and mixture weights for training-data
+    sampling (the domain-reweighting step of multi-corpus pre-training:
+    proportional weights oversample big crawls, sqrt-tempered weights
+    upweight small high-quality domains — the temperature trick of
+    multilingual/multi-corpus sampling).
+
+    Combiner-first end to end: each batch folds to (source, n_docs,
+    n_tokens) partials via Arrow group_by (tokens = whitespace words of
+    lower(text), the corpus-wide convention); ONE slim groupby(source)
+    sums partials; the final weight normalization runs inside a single
+    map_groups task over the per-source table (bounded by the domain
+    count — domains are inherently few; zero driver state).
+
+    Weights are exact integers: ``w_prop_micros`` = n_tokens * M //
+    total_tokens; ``w_sqrt_micros`` = floor(sqrt(n_tokens)) * M //
+    sum(floor(sqrt(n_tokens))). IEEE-754 sqrt is correctly rounded, so
+    floor(sqrt) matches DuckDB's CAST(floor(sqrt(..)) AS BIGINT) bit for
+    bit at any count below 2^52.
+    """
+
+    def partials(batch: pa.Table) -> pa.Table:
+        _, _, parent = _flat_words(batch[text_col])
+        n_words = np.bincount(parent, minlength=batch.num_rows).astype(np.int64)
+        t = pa.table({
+            "source": batch[source_col],
+            "n_docs": pa.array(np.ones(batch.num_rows, np.int64)),
+            "n_tokens": pa.array(n_words, pa.int64()),
+        }).group_by("source").aggregate([("n_docs", "sum"), ("n_tokens", "sum")])
+        return t.rename_columns(["source", "n_docs", "n_tokens"])
+
+    def weights(group: pa.Table) -> pa.Table:
+        nd = group["n_docs"].combine_chunks().to_numpy()
+        nt = group["n_tokens"].combine_chunks().to_numpy()
+        rt = np.floor(np.sqrt(nt.astype(np.float64))).astype(np.int64)
+        return pa.table({
+            "source": group["source"],
+            "n_docs": pa.array(nd, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "w_prop_micros": pa.array(nt * MICRO // max(int(nt.sum()), 1),
+                                      pa.int64()),
+            "w_sqrt_micros": pa.array(rt * MICRO // max(int(rt.sum()), 1),
+                                      pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="nd"), Sum("n_tokens", alias_name="nt"))
+        .map_batches(lambda b: b.rename_columns(["source", "n_docs", "n_tokens"]),
+                     batch_format="pyarrow")
+    )
+    return agg.map_batches(
+        lambda b: b.append_column("_k", pa.array([0] * b.num_rows, pa.int64())),
+        batch_format="pyarrow",
+    ).groupby("_k").map_groups(
+        lambda g: weights(g.drop_columns(["_k"])), batch_format="pyarrow")
