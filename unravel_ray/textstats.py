@@ -674,14 +674,15 @@ def dup_passages(ds: Dataset, k: int = 5, text_col: str = "text",
 
     Ray shape (never all-pairs, never corpus-in-memory):
       1. per-batch `map_batches`: vectorized k-gram construction
-         (shifted-slice join over the flat word array) emitting SLIM
-         (gram, doc_id, pos) occurrence rows — payload text never
-         shuffles, only k-word windows;
-      2. `groupby(gram)`: each group ranks its occurrences by
-         (doc_id, pos) and emits per-doc duplicate counts (all
-         occurrences after the global first). Group size is the
-         occurrence count of ONE window text — bounded by corpus
-         repetition, not corpus size;
+         (shifted-slice join over the flat word array), COMBINED inside
+         the batch to one slim row per (gram, doc): (min_pos, cnt).
+         A document's windows all live in its own row, so the per-doc
+         combine is complete here — payload text never shuffles, and a
+         gram repeated 10^6 times inside one doc ships ONE row;
+      2. `groupby(gram)`: the doc holding the global (doc_id, pos)
+         minimum is canonical — it contributes cnt-1 duplicates, every
+         other doc contributes cnt. Group size = DISTINCT DOCS containing
+         the gram (not raw occurrences), the hot-phrase skew bound;
       3. per-doc window totals (computed batch-locally in pass 1) union
          the duplicate partials and fold in ONE `groupby(doc_id)` sum.
 
@@ -697,20 +698,12 @@ def dup_passages(ds: Dataset, k: int = 5, text_col: str = "text",
         _, flat, parent = _flat_words(batch[text_col])
         grams, gdocs = _ngrams(flat, parent, k)
         ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        # window position within its own document: running index reset at
-        # every document boundary (gdocs is non-decreasing within a batch)
-        if len(gdocs):
-            idx = np.arange(len(gdocs), dtype=np.int64)
-            firsts = np.flatnonzero(np.r_[True, gdocs[1:] != gdocs[:-1]])
-            run_len = np.diff(np.r_[firsts, len(gdocs)])
-            pos = idx - np.repeat(idx[firsts], run_len)
-        else:
-            pos = np.empty(0, np.int64)
         return pa.table({
             "gram": grams,
             id_col: pa.array(ids[gdocs], pa.int64()),
-            "pos": pa.array(pos, pa.int64()),
-        })
+        }).group_by(["gram", id_col]).aggregate(
+            [([], "count_all")]
+        ).rename_columns(["gram", id_col, "cnt"])
 
     def window_totals(batch: pa.Table) -> pa.Table:
         _, flat, parent = _flat_words(batch[text_col])
@@ -724,21 +717,20 @@ def dup_passages(ds: Dataset, k: int = 5, text_col: str = "text",
         })
 
     def dup_partials(group: pa.Table) -> pa.Table:
-        # one gram text per group; every occurrence after the global
-        # (doc_id, pos) minimum is a duplicate
-        if group.num_rows < 2:
-            return pa.table({
-                id_col: pa.array([], pa.int64()),
-                "n_windows": pa.array([], pa.int64()),
-                "n_dup_windows": pa.array([], pa.int64()),
-            })
-        g = group.sort_by([(id_col, "ascending"), ("pos", "ascending")])
+        # one gram text per group, one row per doc containing it; every
+        # occurrence after the global (doc_id, min_pos) minimum is a
+        # duplicate: canonical doc contributes cnt-1, the rest cnt each
+        g = group.sort_by([(id_col, "ascending")])
         d = g[id_col].combine_chunks().to_numpy()
-        dups = np.bincount(np.searchsorted(np.unique(d), d[1:])).astype(np.int64)
-        uniq = np.unique(d)[: len(dups)]
+        dups = g["cnt"].combine_chunks().to_numpy().astype(np.int64).copy()
+        total = int(dups.sum())
+        if total < 2:
+            d = dups = np.empty(0, np.int64)
+        else:
+            dups[0] -= 1  # min-doc row holds the global first occurrence
         keep = dups > 0
         return pa.table({
-            id_col: pa.array(uniq[keep], pa.int64()),
+            id_col: pa.array(d[keep], pa.int64()),
             "n_windows": pa.array(np.zeros(int(keep.sum()), np.int64)),
             "n_dup_windows": pa.array(dups[keep], pa.int64()),
         })
