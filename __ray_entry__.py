@@ -594,6 +594,21 @@ def _domain_mixture(sf_dir: str):
     return domain_mixture(ds)
 
 
+def _size_quantile_sketch(sf_dir: str):
+    """Per-lang approximate percentiles of n_chars from the mergeable
+    log-bucket histogram sketch (<= 12.5% relative error; shuffle payload
+    independent of row count — the at-scale percentile path next to the
+    exact doc_size_percentiles)."""
+    import ray.data
+
+    from unravel_ray.sketch import quantile_sketch
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    ).repartition(16)
+    return quantile_sketch(ds, value_col="n_chars", group_col="lang")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """ALL 73 entries are oracle-backed and pass rows+schema+values vs
     DuckDB at sf0.01 (rehearsed in-session; the pytest suite re-checks
@@ -643,6 +658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _pack_sequences,
         "vocab_top_words": _vocab_top_words,
         "distinct_users_hll": _distinct_users_hll,
+        "size_quantile_sketch": _size_quantile_sketch,
         "inverted_index": _inverted_index,
         "tfidf_rank": _tfidf_rank,
         "dataset_splits": _dataset_splits,
@@ -2168,6 +2184,36 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS contaminated
             FROM w LEFT JOIN agg a ON w.doc_id = a.doc_id
             WHERE w.doc_id % 50 <> 0
+        """,
+        "size_quantile_sketch": r"""
+            WITH v AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v
+                       FROM documents),
+            b AS (SELECT g,
+                         CASE WHEN v < 8 THEN v
+                              ELSE 8 * (length(bin(v)) - 4)
+                                   + ((v >> (length(bin(v)) - 4)) & 7) + 8
+                         END AS bucket
+                  FROM v),
+            h AS (SELECT g, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM b GROUP BY 1, 2),
+            c AS (SELECT g, bucket, cnt,
+                         CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY bucket)
+                              AS BIGINT) AS cum,
+                         CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+                  FROM h),
+            u AS (SELECT *, CASE WHEN bucket < 8 THEN bucket
+                                 ELSE (9 + (bucket - 8) % 8)
+                                      * (CAST(1 AS BIGINT) << ((bucket - 8) // 8)) - 1
+                            END AS ub
+                  FROM c)
+            SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN ub END)
+                        AS BIGINT) AS p50_est,
+                   CAST(MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN ub END)
+                        AS BIGINT) AS p95_est,
+                   CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN ub END)
+                        AS BIGINT) AS p99_est
+            FROM u GROUP BY g
         """,
         "dup_passages": r"""
             WITH w AS (SELECT doc_id,

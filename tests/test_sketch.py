@@ -151,3 +151,44 @@ def test_tfidf_rank_zero_df_term_contributes_nothing(ray_session, tmp_path):
     out = tfidf_rank(str(tmp_path), terms=("query", "zzz_absent"), k=10)
     # df(query)=1 of 3 docs -> idf = 3_000_000; absent term must add 0
     assert out.to_pydict() == {"doc_id": [1], "score_micros": [6_000_000]}
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch
+# ---------------------------------------------------------------------------
+
+def test_quantile_bucket_upper_bound_and_error():
+    import numpy as np
+
+    from unravel_ray.sketch import bucket_upper, quantile_bucket
+
+    v = np.concatenate([np.arange(0, 4096), 2 ** np.arange(12, 62),
+                        2 ** np.arange(12, 62) - 1])
+    b = quantile_bucket(v)
+    u = bucket_upper(b)
+    assert (u >= v).all()
+    big = v >= 8
+    assert ((u[big] - v[big]) / v[big] <= 0.125).all()
+    # buckets are monotone in v
+    order = np.argsort(v)
+    assert (np.diff(b[order]) >= 0).all()
+
+
+def test_quantile_sketch_estimates_and_partition_invariance(ray_session):
+    import numpy as np
+
+    from unravel_ray.sketch import quantile_sketch
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(1, 100_000, size=5_000)
+    t = pa.table({"grp": pa.array(["a"] * len(vals)),
+                  "v": pa.array(vals, pa.int64())})
+    for nparts in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        row = quantile_sketch(ds, "v", "grp").take_all()[0]
+        assert row["n"] == len(vals)
+        for q in (50, 95, 99):
+            exact = np.sort(vals)[int(np.ceil(len(vals) * q / 100)) - 1]
+            est = row[f"p{q}_est"]
+            assert est >= exact  # upper-bound estimator
+            assert (est - exact) / exact <= 0.125 + 0.01
