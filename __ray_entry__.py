@@ -594,6 +594,20 @@ def _domain_mixture(sf_dir: str):
     return domain_mixture(ds)
 
 
+def _curate_corpus(sf_dir: str):
+    """Composed curation pipeline: Gopher gate -> split assignment ->
+    exact-dedup keep-first -> per-(split, source) corpus-card accounting,
+    one lazy chain with only slim-row shuffles."""
+    import ray.data
+
+    from unravel_ray.textstats import curate_corpus
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    ).repartition(16)
+    return curate_corpus(ds)
+
+
 def _size_quantile_sketch(sf_dir: str):
     """Per-lang approximate percentiles of n_chars from the mergeable
     log-bucket histogram sketch (<= 12.5% relative error; shuffle payload
@@ -659,6 +673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_words": _vocab_top_words,
         "distinct_users_hll": _distinct_users_hll,
         "size_quantile_sketch": _size_quantile_sketch,
+        "curate_corpus": _curate_corpus,
         "inverted_index": _inverted_index,
         "tfidf_rank": _tfidf_rank,
         "dataset_splits": _dataset_splits,
@@ -815,6 +830,59 @@ def _splits_sql() -> str:
         SELECT split, lang, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM a GROUP BY split, lang
+    """
+
+
+def _curate_sql() -> str:
+    """Composed curation oracle: the gopher_quality keep CTE + the
+    assign_splits sha256 gate + md5 keep-first dedup, grouped to the
+    corpus-card numbers — same constants as the Ray chain."""
+    from unravel_ray.textstats import SPLIT_THRESHOLDS
+
+    lo, hi = SPLIT_THRESHOLDS
+    s = "sha256('split:' || CAST(doc_id AS VARCHAR))"
+    b = (f"(16*({_HEXVAL.format(s=s, i=1)})"
+         f" + ({_HEXVAL.format(s=s, i=2)}))")
+    return rf"""
+        WITH d AS (SELECT doc_id, source, text,
+                          lower(COALESCE(text, '')) AS lt FROM documents),
+        w AS (SELECT doc_id, CAST(length(lt) AS BIGINT) AS n_chars,
+                     regexp_extract_all(lt, '\S+') AS ws FROM d),
+        base AS (SELECT doc_id, n_chars, CAST(len(ws) AS BIGINT) AS n_words,
+                        CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+                        ws FROM w),
+        bg AS (SELECT doc_id, s FROM (
+                SELECT doc_id, unnest(list_transform(
+                       generate_series(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i + 1])) AS s
+                FROM base WHERE len(ws) >= 2)),
+        bc AS (SELECT doc_id, s, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+        top AS (SELECT doc_id, s, cnt,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY cnt DESC, s) AS rn FROM bc),
+        f AS (
+          SELECT b.doc_id, b.n_words,
+                 CAST((b.n_words - b.n_distinct_words) * 1000000
+                      // greatest(b.n_words, 1) AS BIGINT) AS dup_micros,
+                 CAST(COALESCE(t.cnt * length(t.s), 0) * 1000000
+                      // greatest(b.n_chars, 1) AS BIGINT) AS top_micros
+          FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id AND t.rn = 1),
+        kept AS (
+          SELECT d.doc_id, d.source, f.n_words,
+                 CASE WHEN d.text IS NULL THEN '__null__'
+                      ELSE md5(d.text) END AS th,
+                 CASE WHEN {b} < {lo} THEN 'train'
+                      WHEN {b} < {hi} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM d JOIN f USING (doc_id)
+          WHERE f.dup_micros < 600000 AND f.top_micros < 100000),
+        keeper AS (SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY th
+                                         ORDER BY doc_id) AS krn
+            FROM kept) WHERE krn = 1)
+        SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_words) AS BIGINT) AS n_tokens
+        FROM keeper GROUP BY split, source
     """
 
 
@@ -2185,6 +2253,7 @@ def oracle_sql() -> dict[str, str]:
             FROM w LEFT JOIN agg a ON w.doc_id = a.doc_id
             WHERE w.doc_id % 50 <> 0
         """,
+        "curate_corpus": _curate_sql(),
         "size_quantile_sketch": r"""
             WITH v AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v
                        FROM documents),

@@ -358,3 +358,28 @@ def test_domain_mixture_weights_exact(ray_session):
     assert out["s0"]["w_sqrt_micros"] == 4 * 1_000_000 // 7
     assert out["s1"]["w_sqrt_micros"] == 3 * 1_000_000 // 7
     assert out["s0"]["w_prop_micros"] + out["s1"]["w_prop_micros"] <= 1_000_000
+
+
+def test_curate_corpus_gate_dedup_split_composition(ray_session):
+    from unravel_ray.textstats import curate_corpus
+
+    # doc 0/1: identical text (dedup keeps 0); doc 2: repetition-heavy
+    # (gopher drops); doc 3: unique keeper. Texts are ~26 distinct words
+    # so the 10% top-bigram character gate passes for clean docs (the
+    # gate is calibrated for document-scale text, not 4-word snippets).
+    clean_a = " ".join(f"w{i}" for i in range(26))
+    clean_b = " ".join(f"v{i}" for i in range(26))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "source": ["s0", "s1", "s0", "s1"],
+        "text": [clean_a, clean_a,
+                 "spam spam spam spam spam spam", clean_b],
+    }))
+    rows = curate_corpus(ds).take_all()
+    total_docs = sum(r["n_docs"] for r in rows)
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    assert total_docs == 2            # doc 0 (keeper) + doc 3
+    assert total_tokens == 52         # 26 + 26 words
+    assert all(r["split"] in {"train", "val", "test"} for r in rows)
+    srcs = {r["source"] for r in rows}
+    assert srcs == {"s0", "s1"}       # keeper 0 from s0, keeper 3 from s1

@@ -818,3 +818,54 @@ def domain_mixture(ds: Dataset, source_col: str = "source",
         batch_format="pyarrow",
     ).groupby("_k").map_groups(
         lambda g: weights(g.drop_columns(["_k"])), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# corpus curation — the composed training-data pipeline
+# ---------------------------------------------------------------------------
+
+def curate_corpus(ds: Dataset, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  source_col: str = "source") -> Dataset:
+    """End-to-end corpus curation in ONE lazy chain: Gopher repetition
+    gate -> deterministic train/val/test assignment -> exact dedup
+    (keep-first per text hash among the kept docs) -> per-(split, source)
+    doc/token accounting. The composition a pre-training data pipeline
+    runs nightly, expressed as streaming Ray Data stages:
+
+      * gopher_quality: per-batch feature map, zero shuffle;
+      * slim projection: payload text REDUCED to (id, source, n_words,
+        md5) before anything shuffles — the full text never leaves the
+        scoring stage;
+      * assign_splits: pure map (sha256 gate, corpus-growth invariant);
+      * groupby(text_hash) keep-first: the only wide op, over slim rows;
+      * final grouped count/sum: combiner-first by construction.
+
+    Output: (split, source, n_docs, n_tokens) — the corpus card numbers.
+    """
+    from .dedup import _md5
+
+    feats = gopher_quality(ds, text_col=text_col)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["gopher_keep"], 1))
+        th = pa.array(
+            ["__null__" if t is None else _md5(t)
+             for t in b[text_col].to_pylist()], pa.string())
+        return pa.table({
+            id_col: b[id_col],
+            source_col: b[source_col],
+            "n_words": b["n_words"],
+            "text_hash": th,
+        })
+
+    slimmed = assign_splits(
+        feats.map_batches(slim, batch_format="pyarrow"), id_col=id_col)
+
+    def first_per_hash(group: pa.Table) -> pa.Table:
+        return group.sort_by([(id_col, "ascending")]).slice(0, 1)
+
+    keepers = slimmed.groupby("text_hash").map_groups(
+        first_per_hash, batch_format="pyarrow")
+    return keepers.groupby(["split", source_col]).aggregate(
+        Count(alias_name="n_docs"), Sum("n_words", alias_name="n_tokens"))
