@@ -594,6 +594,15 @@ def _domain_mixture(sf_dir: str):
     return domain_mixture(ds)
 
 
+def _storage_reconcile(sf_dir: str):
+    """Storage-accounting reconciliation backfill (recompute-vs-ledger
+    drift + conditional team rollup; StorageDataMigrationService.java
+    semantics over the TPC-H-ish stand-ins)."""
+    from unravel_ray.relational import storage_reconcile
+
+    return storage_reconcile(sf_dir)
+
+
 def _curate_corpus(sf_dir: str):
     """Composed curation pipeline: Gopher gate -> split assignment ->
     exact-dedup keep-first -> per-(split, source) corpus-card accounting,
@@ -654,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_content": R.search_content,
         "dedup_exact": _dedup_exact,
         "orders_customer_join": R.orders_customer_join,
+        "storage_reconcile": _storage_reconcile,
         "event_sessions": R.event_sessions,
         "event_hourly_windows": R.event_hourly_windows,
         # ---- training-data + search ops new or upgraded this round ----
@@ -2254,6 +2264,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE w.doc_id % 50 <> 0
         """,
         "curate_corpus": _curate_sql(),
+        "storage_reconcile": r"""
+            WITH rec AS (SELECT o_custkey AS k,
+                                CAST(SUM(CAST(round(o_totalprice * 100)
+                                              AS BIGINT)) AS BIGINT) AS cents
+                         FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+            c AS (SELECT c_custkey,
+                         CAST(round(c_acctbal * 100) AS BIGINT) AS ledger,
+                         c_nationkey,
+                         CAST(COALESCE(r.cents, 0) AS BIGINT) AS used
+                  FROM customer LEFT JOIN rec r ON c_custkey = r.k),
+            n AS (SELECT n_nationkey, n_name, r_name
+                  FROM nation JOIN region ON n_regionkey = r_regionkey),
+            j AS (SELECT c.*, n.n_name, n.r_name
+                  FROM c JOIN n ON c_nationkey = n_nationkey)
+            SELECT 'user' AS scope, CAST(c_custkey AS VARCHAR) AS entity,
+                   used AS storage_used_cents,
+                   CAST(1 AS BIGINT) AS n_members,
+                   CAST(CASE WHEN ledger <> used THEN 1 ELSE 0 END
+                        AS BIGINT) AS drifted
+            FROM j WHERE r_name <> 'ASIA'
+            UNION ALL
+            SELECT 'team', n_name, CAST(SUM(used) AS BIGINT),
+                   CAST(COUNT(*) AS BIGINT), CAST(1 AS BIGINT)
+            FROM j WHERE r_name = 'ASIA' GROUP BY n_name
+        """,
         "size_quantile_sketch": r"""
             WITH v AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v
                        FROM documents),

@@ -1751,3 +1751,121 @@ def pii_scrub_stats(sf_dir: str) -> Dataset:
                             "n_emails": t["n_emails"],
                             "n_phones": t["n_phones"]}),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# storage reconciliation — recompute-vs-ledger backfill with drift counts
+# ---------------------------------------------------------------------------
+
+def storage_reconcile(sf_dir: str, team_region: str = "ASIA") -> Dataset:
+    """Storage-accounting reconciliation: recompute each user's usage
+    from their SUCCESS-state rows, compare against the stale stored
+    ledger, and roll team members' usage into per-team totals — the
+    batch backfill of the reference's storage migration job
+    (storage/service/StorageDataMigrationService.java:47-120: per-user
+    recompute over SUCCESS files :122-131, zero for empty users :65-72,
+    team members routed into a team map :77-85, teams folded after
+    :99-114; usersUpdated counts only CHANGED rows, teamsUpdated counts
+    every team :112).
+
+    Deterministic stand-ins on the TPC-H-ish corpus: user = customer,
+    file rows = orders (o_orderstatus = 'F' is the SUCCESS analog,
+    o_totalprice cents the byte size), ledger = c_acctbal cents, team
+    membership = customer's nation sits in ``team_region`` (the
+    conditional routing the reference reads from team_members), team id
+    = nation name.
+
+    Scale shape: orders pre-aggregate per batch before ONE slim
+    groupby(custkey) sum; the customer side joins through the bucketed
+    ``hash_join`` (no broadcast of the big side); nation->region routing
+    is a genuinely tiny dimension broadcast via ``ray.put``. Output:
+    (scope, entity, storage_used_cents, n_members, drifted).
+    """
+    import ray
+    import pyarrow.parquet as pq
+
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+    def order_partials(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["o_orderstatus"], "F"))
+        b = _cents(b, "o_totalprice", "cents")
+        agg = pa.table({
+            "c_custkey": b["o_custkey"], "cents": b["cents"],
+        }).group_by("c_custkey").aggregate([("cents", "sum")])
+        return agg.rename_columns(["c_custkey", "cents"])
+
+    recomputed = (
+        orders.map_batches(order_partials, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("cents", alias_name="used_cents"))
+    )
+
+    customers = _pq(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_nationkey"])
+
+    def ledger(batch: pa.Table) -> pa.Table:
+        b = _cents(batch, "c_acctbal", "ledger_cents")
+        return b.select(["c_custkey", "ledger_cents", "c_nationkey"])
+
+    joined = hash_join(
+        customers.map_batches(ledger, batch_format="pyarrow"),
+        recomputed, on="c_custkey", how="left")
+
+    # nation -> (team name, in team region): inherently tiny dimension
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    rmap = dict(zip(region["r_regionkey"].to_pylist(),
+                    region["r_name"].to_pylist()))
+    route_ref = ray.put({
+        int(k): (nm, rmap[rk] == team_region)
+        for k, nm, rk in zip(nation["n_nationkey"].to_pylist(),
+                             nation["n_name"].to_pylist(),
+                             nation["n_regionkey"].to_pylist())
+    })
+
+    def reconcile(batch: pa.Table) -> pa.Table:
+        route = ray.get(route_ref)
+        used = pc.fill_null(batch["used_cents"], 0)
+        nk = batch["c_nationkey"].to_pylist()
+        teams = np.array([route[k][0] for k in nk], dtype=object)
+        in_team = np.array([route[k][1] for k in nk], dtype=bool)
+        drift = pc.not_equal(batch["ledger_cents"], used).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_users = int((~in_team).sum())
+        users = pa.table({
+            "scope": pa.array(["user"] * n_users, pa.string()),
+            "entity": pc.cast(batch["c_custkey"], pa.string()).filter(
+                pa.array(~in_team)),
+            "storage_used_cents": pc.cast(used.filter(pa.array(~in_team)),
+                                          pa.int64()),
+            "n_members": pa.array(np.ones(n_users, np.int64)),
+            "drifted": pa.array(drift[~in_team], pa.int64()),
+        })
+        # team partials pre-aggregated per batch: the grouped shuffle
+        # carries one slim row per (team, batch), never per member;
+        # drifted=1 mirrors teamsUpdated counting every team (:112)
+        n_team = int(in_team.sum())
+        tm = pa.table({
+            "scope": pa.array(["team"] * n_team, pa.string()),
+            "entity": pa.array(teams[in_team].tolist(), pa.string()),
+            "storage_used_cents": pc.cast(used.filter(pa.array(in_team)),
+                                          pa.int64()),
+            "n_members": pa.array(np.ones(n_team, np.int64)),
+            "drifted": pa.array(np.ones(n_team, np.int64)),
+        }).group_by(["scope", "entity"]).aggregate(
+            [("storage_used_cents", "sum"), ("n_members", "sum"),
+             ("drifted", "max")]).rename_columns(
+            ["scope", "entity", "storage_used_cents", "n_members", "drifted"])
+        return pa.concat_tables([users, tm])
+
+    # one slim grouped fold finishes both scopes: user rows have unique
+    # (scope, entity) so the Sums are identity; team partials sum up and
+    # Max keeps drifted at 1 — no scope ever co-locates in one task
+    return (
+        joined.map_batches(reconcile, batch_format="pyarrow")
+        .groupby(["scope", "entity"])
+        .aggregate(Sum("storage_used_cents", alias_name="storage_used_cents"),
+                   Sum("n_members", alias_name="n_members"),
+                   Max("drifted", alias_name="drifted"))
+    )
