@@ -594,6 +594,20 @@ def _domain_mixture(sf_dir: str):
     return domain_mixture(ds)
 
 
+def _sample_to_budget(sf_dir: str):
+    """Budgeted domain sampling: sqrt-tempered mixture weights applied as
+    per-source doc selection to a 100k-token corpus budget (hierarchical
+    segment-prefix fold — no global sort, no driver row data)."""
+    import ray.data
+
+    from unravel_ray.textstats import sample_to_budget
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    ).repartition(16)
+    return sample_to_budget(ds, total_tokens=100_000)
+
+
 def _storage_reconcile(sf_dir: str):
     """Storage-accounting reconciliation backfill (recompute-vs-ledger
     drift + conditional team rollup; StorageDataMigrationService.java
@@ -684,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": _distinct_users_hll,
         "size_quantile_sketch": _size_quantile_sketch,
         "curate_corpus": _curate_corpus,
+        "sample_to_budget": _sample_to_budget,
         "inverted_index": _inverted_index,
         "tfidf_rank": _tfidf_rank,
         "dataset_splits": _dataset_splits,
@@ -2264,6 +2279,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE w.doc_id % 50 <> 0
         """,
         "curate_corpus": _curate_sql(),
+        "sample_to_budget": r"""
+            WITH t AS (SELECT doc_id, source,
+                              CAST(len(regexp_extract_all(
+                                   lower(COALESCE(text, '')), '\S+'))
+                                   AS BIGINT) AS nt
+                       FROM documents),
+            s AS (SELECT source, CAST(SUM(nt) AS BIGINT) AS tot
+                  FROM t GROUP BY source),
+            r AS (SELECT source, tot,
+                         CAST(floor(sqrt(CAST(tot AS DOUBLE))) AS BIGINT) AS rt
+                  FROM s),
+            b AS (SELECT source,
+                         CAST(100000 * rt
+                              // greatest((SELECT CAST(SUM(rt) AS BIGINT)
+                                           FROM r), 1) AS BIGINT)
+                           AS budget_tokens
+                  FROM r),
+            c AS (SELECT t.*, b.budget_tokens,
+                         CAST(COALESCE(SUM(nt) OVER (
+                              PARTITION BY t.source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS BIGINT)
+                           AS before
+                  FROM t JOIN b USING (source))
+            SELECT source, budget_tokens,
+                   CAST(SUM(CASE WHEN before < budget_tokens
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+                   CAST(SUM(CASE WHEN before < budget_tokens
+                                 THEN nt ELSE 0 END) AS BIGINT)
+                     AS tokens_selected
+            FROM c GROUP BY source, budget_tokens
+        """,
         "storage_reconcile": r"""
             WITH rec AS (SELECT o_custkey AS k,
                                 CAST(SUM(CAST(round(o_totalprice * 100)

@@ -383,3 +383,33 @@ def test_curate_corpus_gate_dedup_split_composition(ray_session):
     assert all(r["split"] in {"train", "val", "test"} for r in rows)
     srcs = {r["source"] for r in rows}
     assert srcs == {"s0", "s1"}       # keeper 0 from s0, keeper 3 from s1
+
+
+def test_sample_to_budget_boundary_and_partition_invariance(ray_session):
+    from unravel_ray.textstats import sample_to_budget
+
+    # source s0: docs of 10, 10, 10 tokens; s1: 5, 5 tokens
+    texts = {
+        0: " ".join(["a"] * 10), 2: " ".join(["b"] * 10),
+        4: " ".join(["c"] * 10),
+        1: " ".join(["d"] * 5), 3: " ".join(["e"] * 5),
+    }
+    t = pa.table({
+        "doc_id": pa.array(sorted(texts), pa.int64()),
+        "text": [texts[k] for k in sorted(texts)],
+        "source": ["s0" if k % 2 == 0 else "s1" for k in sorted(texts)],
+    })
+    # totals: s0=30 (sqrt 5), s1=10 (sqrt 3); budget 16 -> s0: 16*5//8=10,
+    # s1: 16*3//8=6. s0 selects docs 0 (before 0<10) and 2 (before 10,
+    # NOT <10 -> excluded)... before(doc2)=10 == budget -> excluded;
+    # s1: doc1 (before 0<6) and doc3 (before 5<6 -> included, boundary doc)
+    for nparts in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        out = {r["source"]: r for r in
+               sample_to_budget(ds, total_tokens=16, seg_size=2).take_all()}
+        assert out["s0"]["budget_tokens"] == 10
+        assert out["s0"]["n_selected"] == 1
+        assert out["s0"]["tokens_selected"] == 10
+        assert out["s1"]["budget_tokens"] == 6
+        assert out["s1"]["n_selected"] == 2
+        assert out["s1"]["tokens_selected"] == 10  # boundary doc included

@@ -17,7 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ray.data import Dataset
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 # Tiny deterministic stopword profiles — enough for a frequency heuristic.
 STOPWORDS = {
@@ -869,3 +869,100 @@ def curate_corpus(ds: Dataset, text_col: str = "text",
         first_per_hash, batch_format="pyarrow")
     return keepers.groupby(["split", source_col]).aggregate(
         Count(alias_name="n_docs"), Sum("n_words", alias_name="n_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# budgeted domain sampling — apply the mixture weights to select docs
+# ---------------------------------------------------------------------------
+
+def sample_to_budget(ds: Dataset, total_tokens: int,
+                     source_col: str = "source", text_col: str = "text",
+                     id_col: str = "doc_id", seg_size: int | None = None,
+                     max_driver_segments: int = 1_000_000) -> Dataset:
+    """Apply sqrt-tempered domain-mixture weights as actual doc selection:
+    each source gets ``total_tokens * w_sqrt_micros // 1M`` tokens, and
+    docs are taken in deterministic corpus order (ascending id within
+    source; production would pre-shuffle ids with a hash) until the
+    budget fills — a doc is selected when the tokens BEFORE it are still
+    under budget, so the boundary doc is included (same convention as
+    pack_sequences pack assignment).
+
+    Scale shape (the pack_sequences hierarchical fold, per source): docs
+    bucket into fixed id segments; ONE slim groupby yields per
+    (source, segment) token sums; the driver folds prefix offsets (one
+    int per (source, segment) — bounded by ``max_driver_segments``, never
+    row data) and broadcasts them with the per-source budgets; each
+    (source, segment) group then selects locally with a vectorized
+    cumsum. Output: (source, budget_tokens, n_selected, tokens_selected)
+    — exact integers.
+    """
+    import ray
+
+    from .relational import _estimated_rows
+
+    if seg_size is None:
+        est = _estimated_rows(ds)
+        seg_size = (1024 if est is None
+                    else max(1024, -(-est // max_driver_segments)))
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        _, _, parent = _flat_words(batch[text_col])
+        n_tok = np.bincount(parent, minlength=batch.num_rows).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            source_col: batch[source_col],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "segment": pc.cast(pc.divide(batch[id_col], seg_size), pa.int64()),
+        })
+
+    with_tok = ds.map_batches(tokens, batch_format="pyarrow").materialize()
+
+    seg_rows = (
+        with_tok.select_columns([source_col, "segment", "n_tokens"])
+        .groupby([source_col, "segment"])
+        .aggregate(Sum("n_tokens", alias_name="seg_tokens"))
+        .take_all()
+    )
+    # per-source totals -> sqrt-tempered budgets (exact ints, same math
+    # as domain_mixture), then per (source, segment) exclusive prefixes
+    totals: dict[str, int] = {}
+    for r in seg_rows:
+        totals[r[source_col]] = totals.get(r[source_col], 0) + r["seg_tokens"]
+    rt = {s: int(np.floor(np.sqrt(float(t)))) for s, t in totals.items()}
+    rt_sum = max(sum(rt.values()), 1)
+    budgets = {s: total_tokens * rt[s] // rt_sum for s in totals}
+    seg_rows.sort(key=lambda r: (r[source_col], r["segment"]))
+    prefix: dict[tuple, int] = {}
+    acc = 0
+    last_src = None
+    for r in seg_rows:
+        if r[source_col] != last_src:
+            acc, last_src = 0, r[source_col]
+        prefix[(r[source_col], r["segment"])] = acc
+        acc += r["seg_tokens"]
+    state_ref = ray.put((prefix, budgets))
+
+    def select(group: pa.Table) -> pa.Table:
+        pre, bud = ray.get(state_ref)
+        g = group.sort_by([(id_col, "ascending")])
+        src = g[source_col][0].as_py()
+        nt = g["n_tokens"].to_numpy()
+        before = np.zeros(len(nt), dtype=np.int64)
+        np.cumsum(nt[:-1], out=before[1:])
+        before += pre[(src, g["segment"][0].as_py())]
+        sel = before < bud[src]
+        return pa.table({
+            source_col: pa.array([src], pa.string()),
+            "budget_tokens": pa.array([bud[src]], pa.int64()),
+            "n_selected": pa.array([int(sel.sum())], pa.int64()),
+            "tokens_selected": pa.array([int(nt[sel].sum())], pa.int64()),
+        })
+
+    return (
+        with_tok.groupby([source_col, "segment"])
+        .map_groups(select, batch_format="pyarrow")
+        .groupby(source_col)
+        .aggregate(Max("budget_tokens", alias_name="budget_tokens"),
+                   Sum("n_selected", alias_name="n_selected"),
+                   Sum("tokens_selected", alias_name="tokens_selected"))
+    )
