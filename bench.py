@@ -124,7 +124,17 @@ def run_bench() -> dict:
         n = _consume(fn(sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
         if name == "flagship_extract":
+            # single COLD run by design: the first call IS the durable
+            # publish; a repeat would hit the keyed publish cache and
+            # measure readback instead of extraction
             n_docs = n
+        else:
+            # min-of-2 de-noises the co-tenant window swings documented
+            # in BASELINE.md §D3 without changing any metric's semantics
+            t0 = time.perf_counter()
+            _consume(fn(sf_dir))
+            timings[name] = min(timings[name],
+                                round(time.perf_counter() - t0, 3))
 
     # the north-rule throughput metric: flagship extraction over the
     # deterministic interleaved synth corpus, generated shard-locally in
@@ -138,18 +148,26 @@ def run_bench() -> dict:
     # count comes footer-exact from the committed manifest. The lazy
     # read-back is the consumer's (already persisted) side and is timed
     # separately below as publish_readback.
-    pub_dir = tempfile.mkdtemp(prefix="unravel-bench-pub-")
-    t0 = time.perf_counter()
-    published = extract_publish(corpus_dataset(synth_docs, block_size=1250), cfg, pub_dir)
-    t_synth = round(time.perf_counter() - t0, 3)
-    with open(os.path.join(pub_dir, "PUBLISHED.json")) as f:
-        n_synth = json.load(f)["n_rows"]
+    t_synth = float("inf")
+    t_read = float("inf")
+    n_synth = 0
+    # min-of-2 in the plain run; the --scaling subprocesses already take
+    # a min across two fresh processes, so only_synth runs once
+    for _ in range(1 if only_synth else 2):
+        pub_dir = tempfile.mkdtemp(prefix="unravel-bench-pub-")
+        t0 = time.perf_counter()
+        published = extract_publish(
+            corpus_dataset(synth_docs, block_size=1250), cfg, pub_dir)
+        t_synth = min(t_synth, round(time.perf_counter() - t0, 3))
+        with open(os.path.join(pub_dir, "PUBLISHED.json")) as f:
+            n_synth = json.load(f)["n_rows"]
+        t0 = time.perf_counter()
+        n_read = _consume(published)
+        t_read = min(t_read, round(time.perf_counter() - t0, 3))
+        assert n_read == n_synth, (n_read, n_synth)
+        shutil.rmtree(pub_dir, ignore_errors=True)
     timings["flagship_synth"] = t_synth
-    t0 = time.perf_counter()
-    n_read = _consume(published)
-    timings["publish_readback"] = round(time.perf_counter() - t0, 3)
-    assert n_read == n_synth, (n_read, n_synth)
-    shutil.rmtree(pub_dir, ignore_errors=True)
+    timings["publish_readback"] = t_read
 
     total = round(sum(timings.values()), 3)
     out = {
