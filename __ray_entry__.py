@@ -647,7 +647,7 @@ def _size_quantile_sketch(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """ALL 73 entries are oracle-backed and pass rows+schema+values vs
+    """ALL 77 entries are oracle-backed and pass rows+schema+values vs
     DuckDB at sf0.01 (rehearsed in-session; the pytest suite re-checks
     every entry at sf0.001 on each run). The driver has been observed to
     stop after a FIXED COUNT of queries (50 in r2), so dict order is a
