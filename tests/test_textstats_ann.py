@@ -413,3 +413,43 @@ def test_sample_to_budget_boundary_and_partition_invariance(ray_session):
         assert out["s1"]["budget_tokens"] == 6
         assert out["s1"]["n_selected"] == 2
         assert out["s1"]["tokens_selected"] == 10  # boundary doc included
+
+
+def test_dup_passages_partition_invariant(ray_session):
+    """Duplicate-window counts are a pure function of the corpus — block
+    layout must not change them (the property that makes the slim
+    (gram, doc) shuffle correct at any parallelism)."""
+    from unravel_ray.textstats import dup_passages
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(words, size=20)) for _ in range(40)]
+    t = pa.table({"doc_id": pa.array(range(40), pa.int64()), "text": texts})
+    outs = []
+    for nparts in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        rows = sorted(dup_passages(ds, k=3).take_all(),
+                      key=lambda r: r["doc_id"])
+        outs.append(rows)
+    assert outs[0] == outs[1]
+
+
+def test_curate_corpus_partition_invariant(ray_session):
+    from unravel_ray.textstats import curate_corpus
+
+    rng = np.random.default_rng(5)
+    words = [f"tok{i}" for i in range(60)]
+    texts = [" ".join(rng.choice(words, size=26)) for _ in range(30)]
+    texts[7] = texts[3]   # plant an exact dup
+    t = pa.table({
+        "doc_id": pa.array(range(30), pa.int64()),
+        "source": [f"s{i % 3}" for i in range(30)],
+        "text": texts,
+    })
+    outs = []
+    for nparts in (1, 6):
+        ds = ray.data.from_arrow(t).repartition(nparts)
+        rows = sorted(curate_corpus(ds).take_all(),
+                      key=lambda r: (r["split"], r["source"]))
+        outs.append(rows)
+    assert outs[0] == outs[1]
