@@ -199,24 +199,34 @@ def _fast_fragment(html: str) -> Element | None:
 # boilerplate strip (M8 + north-rule DOM-density scoring)
 # ---------------------------------------------------------------------------
 
-def _raw_text_len(node) -> int:
+def _farm_score(node, in_link: bool = False) -> tuple[int, int]:
+    """(total_text_len, link_text_len) in ONE traversal — the hot explode
+    stage calls this per block element, and the fused walk both halves
+    the recursion and strips each text node once instead of twice."""
     if isinstance(node, str):
-        return len(node.strip())
-    return sum(_raw_text_len(c) for c in node.children)
+        n = len(node.strip())
+        return n, (n if in_link else 0)
+    linked = in_link or node.tag == "a"
+    total = link = 0
+    for c in node.children:
+        t, li = _farm_score(c, linked)
+        total += t
+        link += li
+    return total, link
+
+
+def _raw_text_len(node) -> int:
+    return _farm_score(node)[0]
 
 
 def _link_text_len(node, in_link: bool = False) -> int:
-    if isinstance(node, str):
-        return len(node.strip()) if in_link else 0
-    linked = in_link or node.tag == "a"
-    return sum(_link_text_len(c, linked) for c in node.children)
+    return _farm_score(node, in_link)[1]
 
 
 def _is_link_farm(el: Element) -> bool:
-    total = _raw_text_len(el)
+    total, linked = _farm_score(el)
     if total == 0 or total >= LINK_FARM_MAX_CHARS:
         return False
-    linked = _link_text_len(el)
     return linked / total > LINK_DENSITY_MAX
 
 
