@@ -542,6 +542,13 @@ def finalize_block(batch: pa.Table) -> pa.Table:
         lang_l = None
 
     n_runs = len(starts)
+    # per-run validity folds in three reduceat calls instead of ~3 tiny
+    # .any()/.sum() slices per doc run (overhead-dominated at ~3 units/run)
+    prov_any_r = np.add.reduceat(prov_valid, starts) > 0
+    err_any_r = np.add.reduceat(err_valid, starts) > 0
+    conf_cnt_r = np.add.reduceat(conf_valid, starts)
+    conf_sum_r = (np.add.reduceat(conf_fill, starts)
+                  if conf_fill is not None else None)
     # flat span output builders
     sk: list = []
     st: list = []
@@ -579,9 +586,9 @@ def finalize_block(batch: pa.Table) -> pa.Table:
         idx = (sorted(range(s, e), key=lambda i: (off[i], sub[i]))
                if r in unsorted_runs else range(s, e))
         used = None
-        if prov_valid[s:e].any():
+        if prov_any_r[r]:
             used = next(prov_l[i] for i in idx if prov_valid[i])
-        if err_valid[s:e].any():
+        if err_any_r[r]:
             failure = next(i for i in idx if err_valid[i])
             status_o.append("failed")
             error_o.append(err_l[failure])
@@ -632,9 +639,8 @@ def finalize_block(batch: pa.Table) -> pa.Table:
         span_offsets[r + 1] = len(sk)
         # doc-level OCR metadata: mean confidence over OCR'd units as exact
         # integer micros; language = first OCR'd unit in document order
-        cv = conf_valid[s:e]
-        if cv.any():
-            conf_o.append(int(conf_fill[s:e][cv].sum()) * 100 // int(cv.sum()))
+        if conf_cnt_r[r]:
+            conf_o.append(int(conf_sum_r[r]) * 100 // int(conf_cnt_r[r]))
             lang_o.append(next(lang_l[i] for i in idx if conf_valid[i]))
         else:
             conf_o.append(None)
