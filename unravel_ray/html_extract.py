@@ -112,13 +112,13 @@ def parse_fragment(html: str) -> Element:
 # processing instructions, stray '<') return None and fall back to the
 # stdlib parser — equality on the claimed subset is pinned by a
 # differential hypothesis suite (tests/test_properties.py).
-_FAST_TOKEN = re.compile(
-    # tag: unquoted attr chars exclude '<' — a '<' inside an open tag has
-    # parser-specific lookahead handling, so such inputs miss this
-    # alternative, hit the stray-'<' branch, and fall back to stdlib
+_FAST_TAG = re.compile(
+    # tag token: unquoted attr chars exclude '<' — a '<' inside an open
+    # tag has parser-specific lookahead handling, so such inputs fail this
+    # match (the stray-'<' case) and fall back to stdlib. Text runs are
+    # carved out with str.find('<') in the scan loop (C-speed), so this
+    # regex only ever runs at a literal '<'.
     r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\"[^\"]*\"|'[^']*'|[^<>\"'])*)>"
-    r"|([^<]+)"   # text
-    r"|(<)"       # stray '<'
 )
 
 
@@ -134,16 +134,17 @@ def _fast_fragment(html: str) -> Element | None:
     pos = 0
     n = len(html)
     while pos < n:
-        m = _FAST_TOKEN.match(html, pos)
+        lt = html.find("<", pos)
+        if lt != pos:
+            # text run up to the next '<' (or EOF) — no regex involved
+            stack[-1].children.append(html[pos:] if lt < 0 else html[pos:lt])
+            if lt < 0:
+                break
+            pos = lt
+        m = _FAST_TAG.match(html, pos)
         if m is None:
-            return None  # unexplained residue -> stdlib
-        pos = m.end()
-        text = m.group(4)
-        if text is not None:
-            stack[-1].children.append(text)
-            continue
-        if m.group(5) is not None:
             return None  # stray '<' has parser-specific lookahead rules
+        pos = m.end()
         closing, tag, attrs = m.group(1), m.group(2).lower(), m.group(3)
         # The tag-name group stops at the first non-alphanumeric char; the
         # attrs group must therefore START with a real delimiter or the
