@@ -594,6 +594,15 @@ def _domain_mixture(sf_dir: str):
     return domain_mixture(ds)
 
 
+def _table_stats(sf_dir: str):
+    """ANALYZE pass: per-column min/max/null/exact-NDV catalog stats for
+    the orders table (combiner-first; exact NDV degrades to the HLL
+    sketch at corpus scale — see sketch.hll_registers)."""
+    from unravel_ray.relational import table_stats
+
+    return table_stats(sf_dir)
+
+
 def _sample_to_budget(sf_dir: str):
     """Budgeted domain sampling: sqrt-tempered mixture weights applied as
     per-source doc selection to a 100k-token corpus budget (hierarchical
@@ -718,6 +727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_index_topk": _ivf_index_topk,
         # ---- TPC-H-ish relational, all driver-green in r2 (the window
         # sacrifice if the driver stops at a fixed count) ----
+        "table_stats": _table_stats,
         "frame_sample": _frame_sample,
         "orders_customer_join": R.orders_customer_join,
         "event_sessions": R.event_sessions,
@@ -2279,6 +2289,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE w.doc_id % 50 <> 0
         """,
         "curate_corpus": _curate_sql(),
+        "table_stats": r"""
+            SELECT 'o_orderkey' AS "column",
+                   CAST(MIN(o_orderkey) AS BIGINT) AS min_v,
+                   CAST(MAX(o_orderkey) AS BIGINT) AS max_v,
+                   CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey',
+                   CAST(MIN(o_custkey) AS BIGINT),
+                   CAST(MAX(o_custkey) AS BIGINT),
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+            FROM orders
+        """,
         "sample_to_budget": r"""
             WITH t AS (SELECT doc_id, source,
                               CAST(len(regexp_extract_all(

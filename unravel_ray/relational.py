@@ -1869,3 +1869,95 @@ def storage_reconcile(sf_dir: str, team_region: str = "ASIA") -> Dataset:
                    Sum("n_members", alias_name="n_members"),
                    Max("drifted", alias_name="drifted"))
     )
+
+
+# ---------------------------------------------------------------------------
+# table statistics collection — the ANALYZE pass a query planner needs
+# ---------------------------------------------------------------------------
+
+def table_stats(sf_dir: str, table: str = "orders",
+                int_cols: tuple[str, ...] = ("o_orderkey", "o_custkey")) -> Dataset:
+    """Catalog statistics per integer column: (column, min_v, max_v,
+    n_nulls, n_distinct) — the ANALYZE pass that feeds join planning
+    (e.g. derive_join_buckets' row estimates and broadcast-vs-bucket
+    decisions).
+
+    Combiner-first end to end: each batch folds every column to ONE slim
+    partial row (min/max/null count via Arrow kernels) plus its DISTINCT
+    (column, value) pairs; the only wide op is the distinct-pair groupby
+    — the unavoidable exact-NDV shuffle, which at corpus scale degrades
+    to the mergeable HLL register sketch (sketch.hll_registers, same
+    output contract, ±6.5%). Values never leave as raw rows: the shuffle
+    carries one row per distinct (column, value).
+    """
+    ds = _pq(sf_dir, table, list(int_cols))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        rows = {"column": [], "min_v": [], "max_v": [], "n_nulls": [],
+                "n_rows": []}
+        for c in int_cols:
+            col = batch[c]
+            mm = pc.min_max(col)
+            rows["column"].append(c)
+            rows["min_v"].append(mm["min"].as_py())
+            rows["max_v"].append(mm["max"].as_py())
+            rows["n_nulls"].append(col.null_count)
+            rows["n_rows"].append(batch.num_rows)
+        return pa.table({
+            "column": pa.array(rows["column"], pa.string()),
+            "min_v": pa.array(rows["min_v"], pa.int64()),
+            "max_v": pa.array(rows["max_v"], pa.int64()),
+            "n_nulls": pa.array(rows["n_nulls"], pa.int64()),
+            "n_rows": pa.array(rows["n_rows"], pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("column")
+        .aggregate(Min("min_v", alias_name="min_v"),
+                   Max("max_v", alias_name="max_v"),
+                   Sum("n_nulls", alias_name="n_nulls"),
+                   Sum("n_rows", alias_name="n_rows"))
+    )
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in int_cols:
+            u = pc.unique(batch[c].combine_chunks())
+            u = u.drop_null()
+            parts.append(pa.table({
+                "column": pa.array([c] * len(u), pa.string()),
+                "v": pc.cast(u, pa.int64()),
+            }))
+        return pa.concat_tables(parts)
+
+    ndv = (
+        ds.map_batches(distinct_pairs, batch_format="pyarrow")
+        .groupby(["column", "v"])
+        .aggregate(Count(alias_name="_c"))
+        .map_batches(
+            lambda t: pa.table({
+                "column": t["column"],
+                "n_distinct_part": pa.array(
+                    np.ones(t.num_rows, np.int64)),
+            }), batch_format="pyarrow")
+        .groupby("column")
+        .aggregate(Sum("n_distinct_part", alias_name="n_distinct"))
+    )
+
+    # final merge: both sides have exactly one row per column — bounded
+    # by the TABLE WIDTH, not the data — so a broadcast dict beats a
+    # bucketed shuffle here
+    import ray
+
+    ndv_map = ray.put({r["column"]: r["n_distinct"] for r in ndv.take_all()})
+
+    def finish(t: pa.Table) -> pa.Table:
+        m = ray.get(ndv_map)
+        return t.append_column(
+            "n_distinct",
+            pa.array([m.get(c, 0) for c in t["column"].to_pylist()],
+                     pa.int64()),
+        ).drop_columns(["n_rows"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
