@@ -453,3 +453,42 @@ def test_curate_corpus_partition_invariant(ray_session):
                       key=lambda r: (r["split"], r["source"]))
         outs.append(rows)
     assert outs[0] == outs[1]
+
+
+def test_dup_passages_fuzz_vs_bruteforce(ray_session):
+    """Randomized corpora vs an O(all-windows) pure-Python model: dup
+    counts equal 'occurrences after the global (doc_id, pos) first' for
+    every doc, at any k."""
+    import numpy as np
+
+    from unravel_ray.textstats import dup_passages
+
+    rng = np.random.default_rng(99)
+    for trial in range(8):
+        k = int(rng.integers(2, 5))
+        n_docs = int(rng.integers(1, 25))
+        vocab = [f"w{i}" for i in range(int(rng.integers(2, 12)))]
+        texts = [" ".join(rng.choice(vocab, size=int(rng.integers(0, 18))))
+                 for _ in range(n_docs)]
+        # brute force
+        seen: dict[tuple, tuple] = {}
+        occs = []
+        for d, t in enumerate(texts):
+            ws = t.split()
+            for p in range(max(len(ws) - k + 1, 0)):
+                occs.append((tuple(ws[p:p + k]), d, p))
+        nw = [max(len(t.split()) - k + 1, 0) for t in texts]
+        nd = [0] * n_docs
+        for gram, d, p in sorted(occs, key=lambda o: (o[1], o[2])):
+            if gram in seen:
+                nd[d] += 1
+            else:
+                seen[gram] = (d, p)
+        ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": texts,
+        })).repartition(int(rng.integers(1, 5)))
+        got = {r["doc_id"]: r for r in dup_passages(ds, k=k).take_all()}
+        for d in range(n_docs):
+            assert got[d]["n_windows"] == nw[d], (trial, d)
+            assert got[d]["n_dup_windows"] == nd[d], (trial, d, k, texts)
