@@ -747,6 +747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_event_per_user": R.first_event_per_user,
         "event_hopping_windows": R.event_hopping_windows,
         "user_running_totals": R.user_running_totals,
+        "user_sliding_window": R.user_sliding_window,
         "documents_page2": R.documents_page2,
         "mean_confidence_by_provider": R.mean_confidence_by_provider,
         "distinct_counts": R.distinct_counts,
@@ -2102,6 +2103,14 @@ def oracle_sql() -> dict[str, str]:
                         OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
                      AS running_cents
+            FROM events
+        """,
+        "user_sliding_window": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS sliding_sum_cents
             FROM events
         """,
         "event_sessions": """

@@ -1678,6 +1678,33 @@ def user_running_totals(sf_dir: str) -> Dataset:
     return ds.groupby("user_id").map_groups(running, batch_format="pyarrow")
 
 
+def user_sliding_window(sf_dir: str, w: int = 4) -> Dataset:
+    """Per-user SLIDING window sum — the last ``w`` events' value cents
+    including the current one, in (ts, event_id) order: SUM() OVER
+    (PARTITION BY user ORDER BY ts, event_id ROWS BETWEEN w-1 PRECEDING
+    AND CURRENT ROW). Completes the window family (tumbling / hopping /
+    session / cumulative / sliding). Vectorized as a cumsum difference
+    inside each co-grouped user — only slim columns shuffle, same shape
+    as user_running_totals."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def sliding(group: pa.Table) -> pa.Table:
+        g = _cents(group, "value", "vc").sort_by(
+            [("ts", "ascending"), ("event_id", "ascending")])
+        vc = g["vc"].to_numpy(zero_copy_only=False)
+        csum = np.cumsum(vc)
+        out = csum.copy()
+        if len(vc) > w:
+            out[w:] = csum[w:] - csum[:-w]
+        return pa.table({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "sliding_sum_cents": pa.array(out, pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(sliding, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # §2.8 — JSON scalar extraction over a properties column
 # ---------------------------------------------------------------------------
