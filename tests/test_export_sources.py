@@ -300,3 +300,53 @@ def test_render_spans_column_equals_row_form():
         got = render_spans_column(col, fmt).to_pylist()
         want = [render_spans(d or [], fmt) for d in docs]
         assert got == want, (fmt, got, want)
+
+
+def test_hash_join_string_keys_salted_equals_unsalted(ray_session):
+    """Round-4 skew work: string keys ride the vectorized value-hash (no
+    per-row Python), and hot-key salting (probe spray + build replicate)
+    is row-identical to the unsalted join for every join type — including
+    duplicate build rows under the hot key, where each probe row must
+    meet each replica-set copy exactly once."""
+    import numpy as np
+
+    from unravel_ray.relational import hash_join
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    # skewed probe: key "hot" carries ~half the rows — the shape that
+    # would pile into one bucket unsalted
+    keys = np.where(rng.random(n) < 0.5, "hot",
+                    rng.integers(0, 50, n).astype(str)).astype(object)
+    left = ray.data.from_arrow(pa.table(
+        {"k": pa.array(keys, pa.string()), "v": np.arange(n)}))
+    right_keys = ["hot", "hot"] + [str(i) for i in range(0, 50, 2)]
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(right_keys, pa.string()),
+        "w": list(range(len(right_keys)))}))
+
+    for how in ("inner", "left", "semi", "anti"):
+        plain = hash_join(left, right, on="k", how=how).take_all()
+        salted = hash_join(left, right, on="k", how=how,
+                           hot_keys=["hot"], n_salts=8).take_all()
+        key = (lambda r: (r["k"], r["v"], r.get("w"))) \
+            if how in ("inner", "left") else (lambda r: (r["k"], r["v"]))
+        assert sorted(map(key, plain)) == sorted(map(key, salted)), how
+    # the hot key's 8 salted bucket slots actually spread (>1 bucket at
+    # the derive_join_buckets floor of 32)
+    from unravel_ray.hashing import hash_strings
+
+    h = hash_strings(pa.array(["hot"]))
+    salts = np.arange(8, dtype=np.uint64)
+    spread = set((((h + salts * np.uint64(0xD1B54A32D192ED03))
+                   >> np.uint64(33)) % 32).tolist())
+    assert len(spread) > 1
+
+
+def test_detect_hot_keys(ray_session):
+    from unravel_ray.relational import detect_hot_keys
+
+    ds = ray.data.from_arrow(pa.table(
+        {"k": ["a"] * 500 + ["b"] * 3 + ["c"] * 499}))
+    assert set(detect_hot_keys(ds, "k", min_rows=499)) == {"a", "c"}
+    assert detect_hot_keys(ds, "k", min_rows=501) == []

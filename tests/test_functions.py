@@ -107,3 +107,31 @@ def test_parse_llm_json_hardening():
     # reserved for the parse-failure path.
     assert parse_llm_json('{"document_type": "invoice"}')["confidence"] == 0.5
     assert parse_llm_json('{"confidence": 0}')["confidence"] == 0.0
+
+
+def test_hash_strings_value_pure_and_layout_invariant():
+    """The bucketing hash is a pure function of the VALUE: identical for
+    equal strings regardless of array slicing, chunking, or offset width
+    (string vs large_string) — the invariant hash_join's two sides rely
+    on — and spreads real key populations across buckets."""
+    import numpy as np
+    import pyarrow as pa
+
+    from unravel_ray.hashing import hash_strings
+
+    a = pa.array(["hello", "", "world", None, "hello", "hell", "o" * 100_000])
+    h = hash_strings(a)
+    assert h[0] == h[4]          # equal values, equal hash
+    assert h[1] == h[3]          # null hashes like empty (placement only)
+    assert h[0] != h[5]          # prefix is not a collision
+    assert (hash_strings(a.slice(2, 4)) == h[2:6]).all()
+    assert (hash_strings(pa.chunked_array([["hello"], ["hell"]]))
+            == [h[0], h[5]]).all()
+    assert (hash_strings(a.cast(pa.large_string())) == h).all()
+    assert (hash_strings(a.cast(pa.binary())) == h).all()
+
+    keys = pa.array([f"key_{i}" for i in range(20_000)])
+    hv = hash_strings(keys)
+    assert len(set(hv.tolist())) == 20_000  # no collisions on a real keyset
+    counts = np.bincount((hv % np.uint64(64)).astype(np.int64), minlength=64)
+    assert counts.min() > 150  # ~312 expected; no starved bucket

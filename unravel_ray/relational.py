@@ -1212,7 +1212,8 @@ def derive_join_buckets(left: Dataset, right: Dataset,
 def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
               right_suffix: str = "_r", n_buckets: int | None = None,
               target_rows_per_bucket: int = 250_000,
-              est_rows: int | None = None) -> Dataset:
+              est_rows: int | None = None,
+              hot_keys=None, n_salts: int = 16) -> Dataset:
     """Distributed BUCKETED hash join with no driver/broadcast state —
     both sides shuffle by hash(key) % n_buckets and meet in co-located
     bucket groups, where Arrow's C++ hash join does the actual matching
@@ -1234,9 +1235,14 @@ def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
     before calling. Right-side columns colliding with left names get
     ``right_suffix``.
 
-    Skew note: a hot KEY still lands in one bucket (same constraint as
-    any hash join); salt hot keys upstream if one key's rows exceed a
-    block.
+    Skew: pass ``hot_keys`` (any iterable of key values — e.g. from
+    ``detect_hot_keys`` or table_stats frequency estimates) to SALT them:
+    probe-side (left) rows of a hot key are sprayed across ``n_salts``
+    buckets and the matching build-side (right) rows are replicated once
+    per salt, so no single bucket materializes a hot key's full probe
+    mass. Output is row-identical to the unsalted join (each left row
+    meets exactly one copy of each matching right row). Without
+    ``hot_keys`` a hot key still lands in one bucket.
     """
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
@@ -1260,24 +1266,63 @@ def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
         + [pa.field(o, rtypes[c]) for c, o in zip(rcols, rout)]
     )
     key_type = ltypes[on]
+    hot_arr = None
+    if hot_keys is not None:
+        hot_list = list(hot_keys)
+        if hot_list:
+            hot_arr = pa.array(hot_list).cast(key_type)
 
-    def _bucket_of(key_arr) -> pa.Array:
+    def _key_hash(key_arr) -> np.ndarray:
+        """uint64 value-hash of the join key, vectorized for int and
+        string/binary keys; Python-loop str() fold only for exotic types."""
+        if isinstance(key_arr, pa.ChunkedArray):
+            key_arr = key_arr.combine_chunks()
         if pa.types.is_integer(key_type):
             k = key_arr.to_numpy(zero_copy_only=False).astype(np.uint64)
-            b = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) % n_buckets
-            return pa.array(b.astype(np.int32))
-        import zlib as _z
+            return k * np.uint64(0x9E3779B97F4A7C15)
+        try:
+            from .hashing import hash_strings
 
-        return pa.array(
-            [_z.crc32(str(v).encode()) % n_buckets for v in key_arr.to_pylist()],
-            pa.int32(),
-        )
+            return hash_strings(key_arr)
+        except TypeError:
+            import zlib as _z
+
+            return np.array(
+                [_z.crc32(str(v).encode()) for v in key_arr.to_pylist()],
+                np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+
+    def _bucket_of(key_arr, salts: np.ndarray | None = None) -> pa.Array:
+        h = _key_hash(key_arr)
+        if salts is not None:
+            h = h + salts.astype(np.uint64) * np.uint64(0xD1B54A32D192ED03)
+        return pa.array(((h >> np.uint64(33)) % n_buckets).astype(np.int32))
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
+            salts = None
+            if hot_arr is not None:
+                hot = pc.is_in(batch[on], value_set=hot_arr) \
+                    .to_numpy(zero_copy_only=False).astype(bool)
+                if side == 0:
+                    # probe side: spray hot rows across the salt range (the
+                    # salt value itself is placement-only — any assignment
+                    # yields the identical join output)
+                    salts = np.where(
+                        hot, np.arange(batch.num_rows, dtype=np.int64) % n_salts, 0)
+                elif hot.any():
+                    # build side: replicate hot rows once per salt so every
+                    # salted probe bucket holds its own copy
+                    idx_hot = np.flatnonzero(hot)
+                    idx_cold = np.flatnonzero(~hot)
+                    take = np.concatenate([idx_cold, np.tile(idx_hot, n_salts)])
+                    salts = np.concatenate([
+                        np.zeros(idx_cold.size, np.int64),
+                        np.repeat(np.arange(n_salts, dtype=np.int64),
+                                  idx_hot.size)])
+                    batch = batch.take(pa.array(take))
             n = batch.num_rows
             arrays = [pa.array(np.full(n, side, dtype=np.int8)),
-                      _bucket_of(batch[on])]
+                      _bucket_of(batch[on], salts)]
             for f in union_schema.names[2:]:
                 if side == 0:
                     arrays.append(batch[f] if f in batch.column_names
@@ -1311,6 +1356,25 @@ def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
         return joined.select(out_names)
 
     return unioned.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def detect_hot_keys(ds: Dataset, on: str, min_rows: int = 250_000) -> list:
+    """Exact per-key row counts above ``min_rows`` — the salting input for
+    hash_join. Combiner-first: per-batch Arrow value-count partials, one
+    slim (key, cnt) shuffle, filter BEFORE collecting — the driver only
+    ever holds the hot set (few keys by definition; a key must exceed
+    min_rows to surface). Pair with table_stats NDV/row estimates to pick
+    min_rows ≈ target_rows_per_bucket."""
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select([on]), [on]).aggregate([([], "count_all")])
+        return g.rename_columns([on, "cnt"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(on).aggregate(Sum("cnt", alias_name="cnt")))
+    hot = agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], min_rows)),
+        batch_format="pyarrow")
+    return [r[on] for r in hot.take_all()]
 
 
 def orders_customer_join(sf_dir: str) -> Dataset:
