@@ -663,7 +663,7 @@ def decontaminate(ds: Dataset, eval_mod: int = 50, n: int = 3,
 # ---------------------------------------------------------------------------
 
 def dup_passages(ds: Dataset, k: int = 5, text_col: str = "text",
-                 id_col: str = "doc_id") -> Dataset:
+                 id_col: str = "doc_id", n_blocks: int = 64) -> Dataset:
     """Cross-document duplicate-passage detection: for every k-word window
     in every document, mark the window a DUPLICATE when the identical
     window text occurs anywhere else in the corpus EARLIER in the global
@@ -679,12 +679,19 @@ def dup_passages(ds: Dataset, k: int = 5, text_col: str = "text",
          A document's windows all live in its own row, so the per-doc
          combine is complete here — payload text never shuffles, and a
          gram repeated 10^6 times inside one doc ships ONE row;
-      2. `groupby(gram)`: the doc holding the global (doc_id, pos)
-         minimum is canonical — it contributes cnt-1 duplicates, every
-         other doc contributes cnt. Group size = DISTINCT DOCS containing
-         the gram (not raw occurrences), the hot-phrase skew bound;
+      2. `groupby(hash(gram) % n_blocks)` — a FIXED group count, not one
+         Ray group per distinct gram (group count would equal corpus
+         k-gram cardinality: billions at scale, a Python call +
+         scheduling unit each — VERDICT r3 item 3). Equal-gram runs are
+         recovered VECTORIZED inside each block (sort + run boundaries +
+         reduceat, the same fold minhash_candidate_pairs and
+         inverted_index use). Within a run, the min-doc row is canonical
+         — it contributes cnt-1 duplicates, every other doc cnt. Per-run
+         width is still bounded by DISTINCT DOCS containing the gram
+         (not raw occurrences), the hot-phrase skew bound;
       3. per-doc window totals (computed batch-locally in pass 1) union
-         the duplicate partials and fold in ONE `groupby(doc_id)` sum.
+         the duplicate partials and fold in ONE native `groupby(doc_id)`
+         Sum (no per-doc UDF).
 
     At 100 TB the gram strings would be 64-bit-hashed before the shuffle
     (same universal-hash treatment as the MinHash family); kept verbatim
@@ -694,16 +701,20 @@ def dup_passages(ds: Dataset, k: int = 5, text_col: str = "text",
     integer micro-ratio of removable windows).
     """
 
+    from .hashing import hash_strings
+
     def occurrences(batch: pa.Table) -> pa.Table:
         _, flat, parent = _flat_words(batch[text_col])
         grams, gdocs = _ngrams(flat, parent, k)
         ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
-        return pa.table({
+        t = pa.table({
             "gram": grams,
             id_col: pa.array(ids[gdocs], pa.int64()),
         }).group_by(["gram", id_col]).aggregate(
             [([], "count_all")]
         ).rename_columns(["gram", id_col, "cnt"])
+        blk = hash_strings(t["gram"]) % np.uint64(n_blocks)
+        return t.append_column("blk", pa.array(blk.astype(np.int64)))
 
     def window_totals(batch: pa.Table) -> pa.Table:
         _, flat, parent = _flat_words(batch[text_col])
@@ -716,34 +727,47 @@ def dup_passages(ds: Dataset, k: int = 5, text_col: str = "text",
             "n_dup_windows": pa.array(np.zeros(batch.num_rows, np.int64)),
         })
 
-    def dup_partials(group: pa.Table) -> pa.Table:
-        # one gram text per group, one row per doc containing it; every
-        # occurrence after the global (doc_id, min_pos) minimum is a
-        # duplicate: canonical doc contributes cnt-1, the rest cnt each
-        g = group.sort_by([(id_col, "ascending")])
-        d = g[id_col].combine_chunks().to_numpy()
-        dups = g["cnt"].combine_chunks().to_numpy().astype(np.int64).copy()
-        total = int(dups.sum())
-        if total < 2:
-            d = dups = np.empty(0, np.int64)
-        else:
-            dups[0] -= 1  # min-doc row holds the global first occurrence
-        keep = dups > 0
+    def dup_fold(group: pa.Table) -> pa.Table:
+        # one hash block holding many grams: combine cross-batch
+        # (gram, doc) partials, sort, recover equal-gram runs vectorized;
+        # within a run every occurrence after the global (doc_id, min_pos)
+        # minimum is a duplicate — the min-doc row contributes cnt-1, the
+        # rest cnt each. No per-gram Python.
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "n_windows": pa.array([], pa.int64()),
+            "n_dup_windows": pa.array([], pa.int64())})
+        d = group.group_by(["gram", id_col]).aggregate([("cnt", "sum")])
+        if d.num_rows == 0:
+            return empty
+        d = d.take(pc.sort_indices(d, sort_keys=[
+            ("gram", "ascending"), (id_col, "ascending")]))
+        grams = d["gram"].combine_chunks().to_numpy(zero_copy_only=False)
+        docs = d[id_col].combine_chunks().to_numpy()
+        cnt = d["cnt_sum"].combine_chunks().to_numpy().astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, grams[1:] != grams[:-1]])
+        run_len = np.diff(np.r_[starts, grams.shape[0]])
+        run_total = np.add.reduceat(cnt, starts)
+        dups = cnt.copy()
+        dups[starts] -= 1  # min-doc row holds the global first occurrence
+        run_id = np.repeat(np.arange(starts.size), run_len)
+        keep = (run_total[run_id] >= 2) & (dups > 0)
+        m = int(keep.sum())
+        if m == 0:
+            return empty
         return pa.table({
-            id_col: pa.array(d[keep], pa.int64()),
-            "n_windows": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            id_col: pa.array(docs[keep], pa.int64()),
+            "n_windows": pa.array(np.zeros(m, np.int64)),
             "n_dup_windows": pa.array(dups[keep], pa.int64()),
         })
 
     occ = ds.map_batches(occurrences, batch_format="pyarrow")
-    dup = occ.groupby("gram").map_groups(dup_partials, batch_format="pyarrow")
+    dup = occ.groupby("blk").map_groups(dup_fold, batch_format="pyarrow")
     tot = ds.map_batches(window_totals, batch_format="pyarrow")
 
-    def finalize(group: pa.Table) -> pa.Table:
-        t = group.group_by(id_col).aggregate(
-            [("n_windows", "sum"), ("n_dup_windows", "sum")])
-        nw = t["n_windows_sum"].combine_chunks().to_numpy()
-        nd = t["n_dup_windows_sum"].combine_chunks().to_numpy()
+    def ratio(t: pa.Table) -> pa.Table:
+        nw = t["n_windows"].combine_chunks().to_numpy()
+        nd = t["n_dup_windows"].combine_chunks().to_numpy()
         return pa.table({
             id_col: t[id_col],
             "n_windows": pa.array(nw, pa.int64()),
@@ -752,8 +776,13 @@ def dup_passages(ds: Dataset, k: int = 5, text_col: str = "text",
                                         pa.int64()),
         })
 
-    return tot.union(dup).groupby(id_col).map_groups(
-        finalize, batch_format="pyarrow")
+    return (
+        tot.union(dup)
+        .groupby(id_col)
+        .aggregate(Sum("n_windows", alias_name="n_windows"),
+                   Sum("n_dup_windows", alias_name="n_dup_windows"))
+        .map_batches(ratio, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------
