@@ -1980,6 +1980,11 @@ def table_stats(sf_dir: str, table: str = "orders",
     to the mergeable HLL register sketch (sketch.hll_registers, same
     output contract, ±6.5%). Values never leave as raw rows: the shuffle
     carries one row per distinct (column, value).
+
+    Contract note (ADVICE r3): the NDV branch executes EAGERLY at
+    graph-construction time (take_all over one row per column — bounded
+    by table WIDTH, never data) so the result can ride a broadcast dict;
+    the returned per-column stats Dataset itself stays lazy.
     """
     ds = _pq(sf_dir, table, list(int_cols))
 

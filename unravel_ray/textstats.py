@@ -605,6 +605,13 @@ def decontaminate(ds: Dataset, eval_mod: int = 50, n: int = 3,
 
     Output per training doc: distinct-shingle count, contaminated-shingle
     count, exact contamination micro-ratio, and a 0/1 flag.
+
+    Contract note (ADVICE r3): unlike most ``queries()`` entries, the
+    eval-shingle collection below executes EAGERLY at graph-construction
+    time (a driver-side iter_batches over the bounded eval side); the
+    returned training-side Dataset stays lazy. Deliberate: the eval set
+    must be in hand before the broadcast ref can be embedded in the
+    training-side transform.
     """
     import ray
 
