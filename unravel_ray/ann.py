@@ -27,6 +27,29 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms[:, None]
 
 
+def vectors_to_matrix(col: pa.Array | pa.ChunkedArray,
+                      dtype=np.float64) -> np.ndarray:
+    """(n, dim) matrix from an Arrow list<float> column with NO per-element
+    Python: flatten the list values buffer (zero-copy for non-null float
+    storage) and reshape. Every embedding batch in ann/dedup rides this
+    instead of ``np.stack([... for v in col.to_pylist()])``, which
+    materialized each float through a Python object. Raises on ragged or
+    null rows — embeddings are fixed-dim by contract."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    if flat.size % n:
+        raise ValueError("vectors_to_matrix: ragged or null embedding rows")
+    dim = flat.size // n
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    if not (np.diff(offs) == dim).all():
+        raise ValueError("vectors_to_matrix: ragged or null embedding rows")
+    return flat.reshape(n, dim).astype(dtype, copy=False)
+
+
 def brute_force_topk(ds: Dataset, queries: np.ndarray, k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id") -> pa.Table:
     """Exact cosine top-k for each query row.
@@ -40,25 +63,26 @@ def brute_force_topk(ds: Dataset, queries: np.ndarray, k: int = 10,
     q_ref = ray.put(q.T)  # D x Q
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"query_idx": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
         qt = ray.get(q_ref)
-        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        mat = _normalize(np.stack(
-            [np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()]
-        ))
+        ids = batch[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        mat = _normalize(vectors_to_matrix(batch[vec_col]))
         sims = mat @ qt  # B x Q
-        rows = {"query_idx": [], id_col: [], "cos": []}
+        n_q = sims.shape[1]
         kk = min(k, ids.shape[0])
-        for qi in range(sims.shape[1]):
-            col = sims[:, qi]
-            top = np.argpartition(-col, kk - 1)[:kk]
-            for i in top:
-                rows["query_idx"].append(qi)
-                rows[id_col].append(int(ids[i]))
-                rows["cos"].append(float(col[i]))
+        # per-query partial top-k in one argpartition over the batch axis
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # kk x Q
+        qidx = np.repeat(np.arange(n_q, dtype=np.int64), kk)
+        rows_i = top.ravel(order="F")  # query-major flattening
         return pa.table({
-            "query_idx": pa.array(rows["query_idx"], pa.int64()),
-            id_col: pa.array(rows[id_col], pa.int64()),
-            "cos": pa.array(rows["cos"], pa.float64()),
+            "query_idx": pa.array(qidx, pa.int64()),
+            id_col: pa.array(ids[rows_i], pa.int64()),
+            "cos": pa.array(
+                sims[rows_i, qidx].astype(np.float64), pa.float64()),
         })
 
     partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
@@ -96,8 +120,7 @@ class LshIndexStage:
         return ((mat @ self.planes) > 0).astype(np.int64) @ self.weights
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[self.vec_col].to_pylist()])
-        sig = self.signature(_normalize(mat))
+        sig = self.signature(_normalize(vectors_to_matrix(batch[self.vec_col])))
         return batch.append_column("lsh_bucket", pa.array(sig, pa.int64()))
 
 
@@ -112,8 +135,8 @@ def lsh_topk(ds: Dataset, queries: np.ndarray, k: int = 10, n_bits: int = 12,
     dim = q.shape[1]
     stage = LshIndexStage(dim, n_bits, seed, vec_col)
     q_sigs = stage.signature(_normalize(q))
-    wanted = set(int(s) for s in q_sigs)
-    wanted_ref = ray.put(wanted)
+    wanted_ref = ray.put(pa.array(sorted(set(int(s) for s in q_sigs)),
+                                  pa.int64()))
 
     indexed = ds.map_batches(
         LshIndexStage,
@@ -123,8 +146,7 @@ def lsh_topk(ds: Dataset, queries: np.ndarray, k: int = 10, n_bits: int = 12,
 
     def keep(batch: pa.Table) -> pa.Table:
         w = ray.get(wanted_ref)
-        mask = pa.array([b in w for b in batch["lsh_bucket"].to_pylist()], pa.bool_())
-        return batch.filter(mask)
+        return batch.filter(pc.is_in(batch["lsh_bucket"], value_set=w))
 
     candidates = indexed.map_batches(keep, batch_format="pyarrow")
     return brute_force_topk(candidates, queries, k, vec_col, id_col)
@@ -162,9 +184,7 @@ class IvfIndexStage:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = _normalize(np.stack(
-            [np.asarray(v, dtype=np.float64) for v in batch[self.vec_col].to_pylist()]
-        ))
+        mat = _normalize(vectors_to_matrix(batch[self.vec_col]))
         assign = np.argmax(mat @ self.centroids.T, axis=1).astype(np.int64)
         return batch.append_column("ivf_cell", pa.array(assign, pa.int64()))
 
@@ -192,8 +212,8 @@ def ivf_topk(ds: Dataset, queries: np.ndarray, k: int = 10, n_centroids: int = 1
 
     q = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(q @ cents.T), axis=1)[:, :n_probe]
-    wanted = set(int(c) for c in probe.ravel())
-    wanted_ref = _ray.put(wanted)
+    wanted_ref = _ray.put(pa.array(sorted(set(int(c) for c in probe.ravel())),
+                                   pa.int64()))
 
     indexed = ds.map_batches(
         IvfIndexStage, fn_constructor_kwargs=dict(centroids_ref=cents_ref, vec_col=vec_col),
@@ -202,8 +222,7 @@ def ivf_topk(ds: Dataset, queries: np.ndarray, k: int = 10, n_centroids: int = 1
 
     def keep(batch: pa.Table) -> pa.Table:
         w = _ray.get(wanted_ref)
-        mask = pa.array([c in w for c in batch["ivf_cell"].to_pylist()], pa.bool_())
-        return batch.filter(mask)
+        return batch.filter(pc.is_in(batch["ivf_cell"], value_set=w))
 
     candidates = indexed.map_batches(keep, batch_format="pyarrow")
     return brute_force_topk(candidates, queries, k, vec_col, id_col)
@@ -282,8 +301,7 @@ def kmeans_fit_quantized(ds: Dataset, n_centroids: int = 8, n_iters: int = 4,
 
         def partials(batch: pa.Table) -> pa.Table:
             c = ray.get(cents_ref)
-            xq = _quantize_micros(np.stack(
-                [np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()]))
+            xq = _quantize_micros(vectors_to_matrix(batch[vec_col]))
             assign = np.argmin(_quant_dists(xq, c), axis=1)
             counts = np.bincount(assign, minlength=n_c).astype(np.int64)
             sums = np.zeros((n_c, dim), dtype=np.int64)
@@ -313,8 +331,7 @@ class IvfQuantAssignStage:
         self.vec_col = vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        xq = _quantize_micros(np.stack(
-            [np.asarray(v, dtype=np.float64) for v in batch[self.vec_col].to_pylist()]))
+        xq = _quantize_micros(vectors_to_matrix(batch[self.vec_col]))
         assign = np.argmin(_quant_dists(xq, self.centroids), axis=1).astype(np.int64)
         return batch.append_column("ivf_cell", pa.array(assign, pa.int64()))
 
@@ -337,7 +354,8 @@ def ivf_topk_quantized(ds: Dataset, queries: np.ndarray, k: int = 5,
     q = np.asarray(queries, dtype=np.float64)
     cents = kmeans_fit_quantized(ds, n_centroids, n_iters, vec_col, id_col,
                                  sample_mod=sample_mod)
-    wanted_ref = ray.put(_quant_probe_cells(q, cents, n_probe))
+    wanted_ref = ray.put(pa.array(sorted(_quant_probe_cells(q, cents, n_probe)),
+                                  pa.int64()))
     cents_ref = ray.put(cents)
 
     indexed = ds.map_batches(
@@ -348,8 +366,7 @@ def ivf_topk_quantized(ds: Dataset, queries: np.ndarray, k: int = 5,
 
     def keep(batch: pa.Table) -> pa.Table:
         w = ray.get(wanted_ref)
-        mask = pa.array([c in w for c in batch["ivf_cell"].to_pylist()], pa.bool_())
-        return batch.filter(mask)
+        return batch.filter(pc.is_in(batch["ivf_cell"], value_set=w))
 
     candidates = indexed.map_batches(keep, batch_format="pyarrow")
     return brute_force_topk(candidates, q, k, vec_col, id_col).select(

@@ -34,6 +34,9 @@ import ray.data
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
+from .ann import _normalize as _ann_normalize
+from .ann import vectors_to_matrix
+
 # All near-dup hash arithmetic is universal hashing mod P31 = 2^31-1 (a
 # Mersenne prime) in int64: products of two mod-P31 values stay < 2^62, so
 # every step is EXACT in both numpy int64 and ANSI-SQL BIGINT — the whole
@@ -645,12 +648,12 @@ def verify_pairs_jaccard(ds: Dataset, pairs: Dataset, threshold: float,
     """
     pair_rows = pairs.take_all()
     cand_ids = {p["a"] for p in pair_rows} | {p["b"] for p in pair_rows}
-    cand_ids_ref = ray.put(cand_ids)
+    cand_ids_ref = ray.put(pa.array(sorted(cand_ids), pa.int64()))
 
     def pick(batch: pa.Table) -> pa.Table:
         cands = ray.get(cand_ids_ref)
-        mask = pa.array([d in cands for d in batch[id_col].to_pylist()], pa.bool_())
-        return batch.filter(mask).select([id_col, text_col])
+        return batch.filter(
+            pc.is_in(batch[id_col], value_set=cands)).select([id_col, text_col])
 
     texts = {r[id_col]: r[text_col] for r in
              ds.map_batches(pick, batch_format="pyarrow").take_all()}
@@ -695,12 +698,11 @@ def jaccard_verified_pairs(ds: Dataset, pairs: Dataset,
         or [pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64())})])
     cand_ids = set(pair_tbl["a"].to_pylist()) | set(pair_tbl["b"].to_pylist())
-    cand_ref = ray.put(cand_ids)
+    cand_ref = ray.put(pa.array(sorted(cand_ids), pa.int64()))
 
     def shingle_sets(batch: pa.Table) -> pa.Table:
         cands = ray.get(cand_ref)
-        mask = pa.array([d in cands for d in batch[id_col].to_pylist()], pa.bool_())
-        kept = batch.filter(mask)
+        kept = batch.filter(pc.is_in(batch[id_col], value_set=cands))
         sets = [np.unique(_shingle_hashes(t, width)).tobytes()
                 for t in kept[text_col].to_pylist()]
         return pa.table({id_col: kept[id_col],
@@ -776,23 +778,17 @@ def embedding_neardup(ds: Dataset, threshold: float = 0.95,
 
     def pairs(batch: pa.Table) -> pa.Table:
         all_ids, all_mat = ray.get(ref)
-        b_ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        b_mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()])
-        bn = np.linalg.norm(b_mat, axis=1)
-        bn[bn == 0] = 1.0
-        b_mat = b_mat / bn[:, None]
+        b_ids = batch[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b_mat = _ann_normalize(vectors_to_matrix(batch[vec_col]))
         sims = b_mat @ all_mat.T
-        rows_a, rows_b, rows_c = [], [], []
-        for i in range(b_ids.shape[0]):
-            hits = np.flatnonzero(sims[i] >= threshold)
-            for j in hits:
-                if b_ids[i] < all_ids[j]:  # a < b, self excluded
-                    rows_a.append(int(b_ids[i]))
-                    rows_b.append(int(all_ids[j]))
-                    rows_c.append(round(float(sims[i, j]), 6))
-        return pa.table({"a": pa.array(rows_a, pa.int64()),
-                         "b": pa.array(rows_b, pa.int64()),
-                         "cos": pa.array(rows_c, pa.float64())})
+        ii, jj = np.nonzero(sims >= threshold)
+        keep = b_ids[ii] < all_ids[jj]  # a < b, self excluded
+        ii, jj = ii[keep], jj[keep]
+        return pa.table({"a": pa.array(b_ids[ii], pa.int64()),
+                         "b": pa.array(all_ids[jj], pa.int64()),
+                         "cos": pa.array(np.round(sims[ii, jj], 6),
+                                         pa.float64())})
 
     return ds.map_batches(pairs, batch_format="pyarrow")
 
@@ -818,7 +814,7 @@ def embedding_neardup_bucketed(ds: Dataset, threshold: float = 0.95,
     bucket (degenerate data, e.g. all-identical vectors) is processed in
     chunked matmuls, never one giant allocation.
     """
-    from .ann import LshIndexStage, _normalize as _ann_normalize
+    from .ann import LshIndexStage
 
     first = ds.take(1)
     if not first:
@@ -833,34 +829,30 @@ def embedding_neardup_bucketed(ds: Dataset, threshold: float = 0.95,
 
     def expand(batch: pa.Table) -> pa.Table:
         planes = ray.get(planes_ref)
-        mat = _ann_normalize(np.stack(
-            [np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()]))
+        mat = _ann_normalize(vectors_to_matrix(batch[vec_col]))
         n = mat.shape[0]
-        bands_col, buckets, ids, vecs = [], [], [], []
-        id_list = batch[id_col].to_pylist()
-        vec_list = batch[vec_col].to_pylist()
-        for band, pl in enumerate(planes):
-            sig = ((mat @ pl) > 0).astype(np.int64) @ weights
-            bands_col.extend([band] * n)
-            buckets.extend(sig.tolist())
-            ids.extend(id_list)
-            vecs.extend(vec_list)
-        return pa.table({
-            "band": pa.array(bands_col, pa.int32()),
-            "bucket": pa.array(buckets, pa.int64()),
-            id_col: pa.array(ids, pa.int64()),
-            vec_col: pa.array(vecs, pa.list_(pa.float64())),
-        })
+        ids = pc.cast(batch[id_col].combine_chunks(), pa.int64())
+        vecs = batch[vec_col].combine_chunks().cast(pa.list_(pa.float64()))
+        # one slice per band reusing the SAME id/vec Arrow buffers —
+        # zero-copy replication, no Python float materialization
+        per_band = [pa.table({
+            "band": pa.array(np.full(n, band, np.int32)),
+            "bucket": pa.array(((mat @ pl) > 0).astype(np.int64) @ weights,
+                               pa.int64()),
+            id_col: ids,
+            vec_col: vecs,
+        }) for band, pl in enumerate(planes)]
+        return pa.concat_tables(per_band)
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        g_ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
+        g_ids = group[id_col].combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
         n = g_ids.shape[0]
         if n < 2:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),
                              "cos": pa.array([], pa.float64())})
-        mat = _ann_normalize(np.stack(
-            [np.asarray(v, dtype=np.float64) for v in group[vec_col].to_pylist()]))
+        mat = _ann_normalize(vectors_to_matrix(group[vec_col]))
         # sort by id so index order == id order: upper-triangle blocks
         # (j0 >= i0) then cover exactly the a < b pairs, and BOTH matmul
         # operands are chunked — peak allocation is step^2 floats no matter
