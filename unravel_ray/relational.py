@@ -541,13 +541,17 @@ def customers_by_region(sf_dir: str) -> Dataset:
     region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
     n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
     r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
-    lookup_ref = ray.put({k: r2name[v] for k, v in n2r.items()})
+    # broadcast parallel (key, name) arrays: the probe is a vectorized
+    # index_in + take, missing keys fall out as nulls — dict semantics
+    # with no per-row Python
+    lookup_ref = ray.put((
+        pa.array(list(n2r.keys()), pa.int64()),
+        pa.array([r2name[v] for v in n2r.values()], pa.string())))
 
     def attach(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        names = pa.array(
-            [lookup.get(k) for k in batch["c_nationkey"].to_pylist()], pa.string()
-        )
+        key_arr, name_arr = ray.get(lookup_ref)
+        idx = pc.index_in(batch["c_nationkey"], value_set=key_arr)
+        names = pc.take(name_arr, idx)
         b = _cents(batch, "c_acctbal", "acctbal_cents")
         return b.append_column("r_name", names)
 
@@ -575,13 +579,15 @@ def orders_by_segment(sf_dir: str) -> Dataset:
     import pyarrow.parquet as pq
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    seg_ref = ray.put(dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())))
+    # broadcast parallel (key, segment) arrays; the probe is index_in +
+    # take with missing keys null-filled to UNKNOWN — no per-row Python
+    seg_ref = ray.put((cust["c_custkey"].combine_chunks(),
+                       cust["c_mktsegment"].combine_chunks()))
 
     def attach(batch: pa.Table) -> pa.Table:
-        seg = ray.get(seg_ref)
-        segs = pa.array(
-            [seg.get(k, "UNKNOWN") for k in batch["o_custkey"].to_pylist()], pa.string()
-        )
+        key_arr, seg_arr = ray.get(seg_ref)
+        idx = pc.index_in(batch["o_custkey"], value_set=key_arr)
+        segs = pc.fill_null(pc.take(seg_arr, idx), "UNKNOWN")
         b = _cents(batch, "o_totalprice", "price_cents")
         return b.append_column("c_mktsegment", segs)
 
@@ -640,13 +646,15 @@ def bloom_prefilter(ds: Dataset, key_col: str, bits: np.ndarray) -> Dataset:
     def filt(batch: pa.Table) -> pa.Table:
         b = ray.get(bits_ref)
         keys = pc.cast(batch[key_col], pa.string())
-        uniq = pc.unique(keys).to_pylist()
-        ok = {}
-        for k in uniq:
-            ok[k] = all(
-                b[(p := _bloom_pos(k, j)) >> 3] & (1 << (p & 7))
-                for j in range(BLOOM_HASHES))
-        mask = pa.array([ok[k] for k in keys.to_pylist()], pa.bool_())
+        # sha256 positions are the oracle contract, so the hash loop runs
+        # per UNIQUE key only; the per-row mask is a vectorized
+        # index_in + take over the unique verdicts
+        uniq = pc.unique(keys)
+        ok = pa.array(
+            [all(b[(p := _bloom_pos(k, j)) >> 3] & (1 << (p & 7))
+                 for j in range(BLOOM_HASHES))
+             for k in uniq.to_pylist()], pa.bool_())
+        mask = pc.take(ok, pc.index_in(keys, value_set=uniq))
         return batch.filter(mask)
 
     return ds.map_batches(filt, batch_format="pyarrow")
@@ -670,24 +678,28 @@ def bloom_semijoin_stats(sf_dir: str, segment: str = "BUILDING") -> "pa.Table":
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
-    true_keys = set(
-        cust.filter(pc.equal(cust["c_mktsegment"], segment))
-        ["c_custkey"].to_pylist())
+    true_keys = cust.filter(
+        pc.equal(cust["c_mktsegment"], segment))["c_custkey"].combine_chunks()
     keys_ref = ray.put(true_keys)
     bits_ref = ray.put(bits)
 
     def probe_partial(batch: pa.Table) -> pa.Table:
         b = ray.get(bits_ref)
         tk = ray.get(keys_ref)
-        ks = batch["o_custkey"].to_pylist()
-        memo = {}
-        for k in set(ks):
-            memo[k] = all(
-                b[(p := _bloom_pos(str(k), j)) >> 3] & (1 << (p & 7))
-                for j in range(BLOOM_HASHES))
-        n_pass = sum(memo[k] for k in ks)
-        n_true = sum(k in tk for k in ks)
-        return pa.table({"n_probe": pa.array([len(ks)], pa.int64()),
+        ks = pc.cast(batch["o_custkey"], pa.string())
+        # sha256 bloom test per UNIQUE key (the oracle contract); per-row
+        # expansion and true-match count are vectorized kernels
+        uniq = pc.unique(ks)
+        passed = pa.array(
+            [all(b[(p := _bloom_pos(k, j)) >> 3] & (1 << (p & 7))
+                 for j in range(BLOOM_HASHES))
+             for k in uniq.to_pylist()], pa.bool_())
+        mask = pc.take(passed, pc.index_in(ks, value_set=uniq))
+        n_pass = pc.sum(pc.cast(mask, pa.int64())).as_py() or 0
+        n_true = pc.sum(pc.cast(
+            pc.is_in(batch["o_custkey"], value_set=tk),
+            pa.int64())).as_py() or 0
+        return pa.table({"n_probe": pa.array([batch.num_rows], pa.int64()),
                          "n_pass": pa.array([n_pass], pa.int64()),
                          "n_true": pa.array([n_true], pa.int64())})
 
@@ -1908,19 +1920,21 @@ def storage_reconcile(sf_dir: str, team_region: str = "ASIA") -> Dataset:
                            columns=["r_regionkey", "r_name"])
     rmap = dict(zip(region["r_regionkey"].to_pylist(),
                     region["r_name"].to_pylist()))
-    route_ref = ray.put({
-        int(k): (nm, rmap[rk] == team_region)
-        for k, nm, rk in zip(nation["n_nationkey"].to_pylist(),
-                             nation["n_name"].to_pylist(),
-                             nation["n_regionkey"].to_pylist())
-    })
+    # broadcast parallel (key, name, in_team) arrays: the probe is one
+    # vectorized index_in + take/fancy-index, no per-row dict lookups
+    route_ref = ray.put((
+        nation["n_nationkey"].combine_chunks(),
+        nation["n_name"].combine_chunks(),
+        np.array([rmap[rk] == team_region
+                  for rk in nation["n_regionkey"].to_pylist()], bool)))
 
     def reconcile(batch: pa.Table) -> pa.Table:
-        route = ray.get(route_ref)
+        key_arr, name_arr, inteam_np = ray.get(route_ref)
         used = pc.fill_null(batch["used_cents"], 0)
-        nk = batch["c_nationkey"].to_pylist()
-        teams = np.array([route[k][0] for k in nk], dtype=object)
-        in_team = np.array([route[k][1] for k in nk], dtype=bool)
+        idx = pc.index_in(batch["c_nationkey"], value_set=key_arr).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        teams_arr = pc.take(name_arr, pa.array(idx))
+        in_team = inteam_np[idx]
         drift = pc.not_equal(batch["ledger_cents"], used).to_numpy(
             zero_copy_only=False).astype(np.int64)
         n_users = int((~in_team).sum())
@@ -1939,7 +1953,7 @@ def storage_reconcile(sf_dir: str, team_region: str = "ASIA") -> Dataset:
         n_team = int(in_team.sum())
         tm = pa.table({
             "scope": pa.array(["team"] * n_team, pa.string()),
-            "entity": pa.array(teams[in_team].tolist(), pa.string()),
+            "entity": teams_arr.filter(pa.array(in_team)),
             "storage_used_cents": pc.cast(used.filter(pa.array(in_team)),
                                           pa.int64()),
             "n_members": pa.array(np.ones(n_team, np.int64)),
