@@ -79,11 +79,11 @@ def apply_edits(extracted: Dataset, edits: dict[str, tuple[str, str]]) -> Datase
     import ray
 
     target_ids = set(edits)
-    id_ref = ray.put(frozenset(target_ids))
+    id_ref = ray.put(pa.array(sorted(target_ids), pa.string()))
 
     def pick_status(batch: pa.Table) -> pa.Table:
         wanted = ray.get(id_ref)
-        mask = pa.array([d in wanted for d in batch["doc_id"].to_pylist()], pa.bool_())
+        mask = pc.is_in(batch["doc_id"], value_set=wanted)
         return batch.filter(mask).select(["doc_id", "status"])
 
     found = {r["doc_id"]: r["status"]
@@ -171,17 +171,19 @@ def enforce_total_size_cap(docs: Dataset, cap_bytes: int = 50 * 1024 * 1024) -> 
         return docs
     import ray
 
-    ref = ray.put(frozenset(over))
+    ref = ray.put(pa.array(sorted(over), pa.string()))
     msg = (f"The total size of all files must not exceed "
            f"{cap_bytes // (1024 * 1024)} MB.")
 
     def mark(batch: pa.Table) -> pa.Table:
         bad = ray.get(ref)
-        errs = [msg if c in bad else None for c in batch["collection_id"].to_pylist()]
+        errs = pc.if_else(
+            pc.is_in(batch["collection_id"], value_set=bad),
+            pa.scalar(msg, pa.string()), pa.scalar(None, pa.string()))
         if "precheck_error" in batch.column_names:
-            prev = batch["precheck_error"].to_pylist()
-            errs = [e or p for e, p in zip(errs, prev)]
+            # new message wins; rows not over-cap keep any earlier error
+            errs = pc.coalesce(errs, batch["precheck_error"])
             batch = batch.drop_columns(["precheck_error"])
-        return batch.append_column("precheck_error", pa.array(errs, pa.string()))
+        return batch.append_column("precheck_error", pc.cast(errs, pa.string()))
 
     return docs.map_batches(mark, batch_format="pyarrow")

@@ -193,12 +193,11 @@ def _recompute_docs(docs: Dataset, dup_ids: frozenset, cfg: PipelineConfig) -> D
     (one block => finalize sees every unit => markers impossible)."""
     import ray
 
-    ref = ray.put(dup_ids)
+    ref = ray.put(pa.array(sorted(dup_ids), pa.string()))
 
     def keep_dups(t: pa.Table) -> pa.Table:
         bad = ray.get(ref)
-        mask = pa.array([d in bad for d in t["doc_id"].to_pylist()], pa.bool_())
-        return t.filter(mask)
+        return t.filter(pc.is_in(t["doc_id"], value_set=bad))
 
     redo_src = docs.map_batches(keep_dups, batch_format="pyarrow").repartition(1)
     redo_units = redo_src.map_batches(
