@@ -177,7 +177,7 @@ def test_minhash_stage_vectorized_matches_per_doc_reference():
     ref = pa.table({"band": pa.array(out_band, pa.int32()),
                     "band_hash": pa.array(out_hash, pa.int64()),
                     "id": pa.array(out_id, pa.int64()),
-                    "sig": pa.array(out_sig, pa.binary())})
+                    "sig": pa.array(out_sig, pa.binary(stage.num_perm * 8))})
     assert stage(batch).equals(ref)
     # tiny scratch cap exercises both the sliced and the whale-doc path
     small = MinHashStage()

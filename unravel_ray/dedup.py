@@ -230,14 +230,19 @@ class MinHashStage:
             bh *= _POLY31
             bh += chunks[:, :, j]
             bh %= P31
-        sig_bytes = [s.tobytes() for s in sigs]
+        # one buffer for ALL signatures (n x num_perm int64 rows), wrapped
+        # as fixed-size binary and replicated per band by Arrow take — the
+        # same bytes np.frombuffer recovers downstream, no per-row Python
+        sig_fixed = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(self.num_perm * 8), n,
+            [None, pa.py_buffer(np.ascontiguousarray(sigs).tobytes())])
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), self.bands)
         return pa.table(
             {
                 "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
                 "band_hash": pa.array(bh.reshape(-1)),
                 "id": batch[self.id_col].take(pa.array(doc_idx)),
-                "sig": pa.array([sig_bytes[i] for i in doc_idx], pa.binary()),
+                "sig": sig_fixed.take(pa.array(doc_idx)),
             }
         )
 
