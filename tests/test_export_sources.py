@@ -174,6 +174,45 @@ def test_asof_join_semantics(ray_session):
     assert tie["rv"] == "r20"
 
 
+def test_asof_join_blocked_matches_bruteforce(ray_session):
+    """Randomized differential: the fixed-block segmented-scan asof must
+    equal the per-row brute-force model, with n_blocks tiny so many keys
+    co-locate in one block (runs, boundary fills, and equal timestamps
+    all exercised)."""
+    import random
+
+    import pyarrow as pa
+
+    import ray.data
+    from unravel_ray.relational import asof_join
+
+    rng = random.Random(1234)
+    keys = [f"k{i}" for i in range(17)]
+    lrows = [(i, rng.choice(keys), rng.randrange(0, 40))
+             for i in range(300)]
+    # some keys have no right rows at all; duplicate right timestamps OK
+    rrows = [(rng.choice(keys[:12]), rng.randrange(0, 40), i)
+             for i in range(200)]
+    left = ray.data.from_arrow(pa.table({
+        "lid": pa.array([r[0] for r in lrows], pa.int64()),
+        "k": pa.array([r[1] for r in lrows], pa.string()),
+        "t": pa.array([r[2] for r in lrows], pa.int64()),
+    })).repartition(7)
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([r[0] for r in rrows], pa.string()),
+        "t": pa.array([r[1] for r in rrows], pa.int64()),
+        "rid": pa.array([r[2] for r in rrows], pa.int64()),
+    })).repartition(5)
+    out = {r["lid"]: r for r in asof_join(
+        left, right, by="k", on="t", right_keep=["t"],
+        n_blocks=3).take_all()}
+    assert len(out) == len(lrows)
+    for lid, k, t in lrows:
+        prior = [rt for rk, rt, _ in rrows if rk == k and rt <= t]
+        want = max(prior) if prior else None
+        assert out[lid]["t_r"] == want, (lid, k, t)
+
+
 def test_range_join_semantics(ray_session):
     """Interval containment: [lo, hi) bands, outside rows get nulls,
     bands validated sorted/disjoint."""

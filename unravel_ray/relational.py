@@ -1492,33 +1492,54 @@ def sample_documents(sf_dir: str, pct: int = 10) -> Dataset:
 # ---------------------------------------------------------------------------
 
 def asof_join(left: Dataset, right: Dataset, by: str, on: str,
-              right_keep: list[str], right_suffix: str = "_r") -> Dataset:
+              right_keep: list[str], right_suffix: str = "_r",
+              n_blocks: int = 64) -> Dataset:
     """Backward as-of join: for each left row, the LAST right row of the
     same ``by`` key with right.on <= left.on (nulls when none precedes).
 
     Composition (north-rule custom-operator path (a)): tagged union ->
-    groupby(by) co-group -> per-group vectorized sort + np.searchsorted.
-    Partitioning assumption: one ``by`` key's rows fit a group (salt hot
-    keys upstream; for extreme key cardinality wrap keys in hash buckets
-    exactly like hash_join — the per-group kernel is unchanged).
+    groupby(hash(by) % n_blocks) — a FIXED group count, never one Ray
+    group per key — then ONE vectorized segmented scan per block: sort
+    by (key, time, right-before-left), forward-fill the last right-row
+    index with np.maximum.accumulate, and invalidate fills that cross a
+    key-run boundary (fill < run_start). No per-key Python anywhere.
+    Partitioning assumption: rows hash-balance across blocks, so one
+    block holds ~|left + right| / n_blocks rows — size n_blocks so that
+    fits a worker; a single hot key cannot straddle blocks (the scan is
+    order-exact within its run regardless of run length).
     """
     lschema = left.schema()
     rschema = right.schema()
     lcols = list(lschema.names)
     rtypes = dict(zip(rschema.names, rschema.types))
     ltypes = dict(zip(lschema.names, lschema.types))
+    key_type = ltypes[by]
     rout = [c + right_suffix if c in lcols else c for c in right_keep]
     union_schema = pa.schema(
-        [pa.field("__side", pa.int8())]
+        [pa.field("__blk", pa.int32()), pa.field("__side", pa.int8()),
+         pa.field("__t", pa.int64())]
         + [pa.field(c, ltypes[c]) for c in lcols]
-        + [pa.field("__ron", rtypes[on])]
         + [pa.field(o, rtypes[c]) for c, o in zip(right_keep, rout)]
     )
+
+    def _blk(key_arr) -> pa.Array:
+        if isinstance(key_arr, pa.ChunkedArray):
+            key_arr = key_arr.combine_chunks()
+        if pa.types.is_integer(key_type):
+            h = key_arr.to_numpy(zero_copy_only=False).astype(np.uint64) \
+                * np.uint64(0x9E3779B97F4A7C15)
+        else:
+            from .hashing import hash_strings
+
+            h = hash_strings(key_arr)
+        return pa.array(((h >> np.uint64(33)) % n_blocks).astype(np.int32))
 
     def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
             n = batch.num_rows
-            arrays = [pa.array(np.full(n, side, dtype=np.int8))]
+            arrays = [_blk(batch[by]),
+                      pa.array(np.full(n, side, dtype=np.int8)),
+                      pc.cast(batch[on], pa.int64())]
             for c in lcols:
                 if side == 0:
                     arrays.append(batch[c])
@@ -1526,7 +1547,6 @@ def asof_join(left: Dataset, right: Dataset, by: str, on: str,
                     arrays.append(batch[by])
                 else:
                     arrays.append(pa.nulls(n, ltypes[c]))
-            arrays.append(batch[on] if side == 1 else pa.nulls(n, rtypes[on]))
             for c in right_keep:
                 arrays.append(batch[c] if side == 1
                               else pa.nulls(n, rtypes[c]))
@@ -1540,34 +1560,46 @@ def asof_join(left: Dataset, right: Dataset, by: str, on: str,
                               + [pa.field(o, rtypes[c])
                                  for c, o in zip(right_keep, rout)])
 
-    def group_asof(group: pa.Table) -> pa.Table:
-        sides = group["__side"].to_numpy(zero_copy_only=False)
-        l_idx = np.flatnonzero(sides == 0)
-        if l_idx.size == 0:
+    def block_asof(group: pa.Table) -> pa.Table:
+        # right rows sort BEFORE left rows at equal (key, t): a right row
+        # at exactly left.on is eligible (<=); stable sort keeps original
+        # order among equal right timestamps, so maximum.accumulate picks
+        # the last one — same tie rule as a searchsorted(side="right")
+        t = group.sort_by([(by, "ascending"), ("__t", "ascending"),
+                           ("__side", "descending")])
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        l_rows = np.flatnonzero(side == 0)
+        if l_rows.size == 0:
             return result_schema.empty_table()
-        r_idx = np.flatnonzero(sides == 1)
-        ltbl = group.take(pa.array(l_idx))
-        l_on = pc.cast(ltbl[on], pa.int64()).to_numpy(zero_copy_only=False)
+        n = t.num_rows
+        keycol = t[by].combine_chunks()
+        if pa.types.is_integer(keycol.type):
+            codes = keycol.to_numpy(zero_copy_only=False)
+        else:
+            codes = pc.dictionary_encode(keycol).indices.to_numpy(
+                zero_copy_only=False)
+        change = np.empty(n, bool)
+        change[0] = True
+        np.not_equal(codes[1:], codes[:-1], out=change[1:])
+        run_start = np.maximum.accumulate(
+            np.where(change, np.arange(n, dtype=np.int64), 0))
+        filled = np.maximum.accumulate(
+            np.where(side == 1, np.arange(n, dtype=np.int64), -1))
+        valid = filled >= run_start  # fill from an earlier key run is void
+        ltbl = t.take(pa.array(l_rows))
+        lvalid = valid[l_rows]
+        take_idx = pa.array(np.where(lvalid, filled[l_rows], 0))
+        vmask = pa.array(lvalid)
         arrays = [ltbl[c] for c in lcols]
-        if r_idx.size == 0:
-            arrays += [pa.nulls(l_idx.size, result_schema.field(o).type)
-                       for o in rout]
-            return pa.Table.from_arrays(arrays, schema=result_schema)
-        rtbl = group.take(pa.array(r_idx))
-        r_on = pc.cast(rtbl["__ron"], pa.int64()).to_numpy(zero_copy_only=False)
-        order = np.argsort(r_on, kind="stable")
-        r_sorted = r_on[order]
-        pos = np.searchsorted(r_sorted, l_on, side="right") - 1
-        matched = pos >= 0
-        take_r = np.where(matched, order[np.maximum(pos, 0)], 0)
         for c, o in zip(right_keep, rout):
-            col = pc.take(rtbl[o], pa.array(take_r))
-            col = pc.if_else(pa.array(matched), col,
+            col = pc.take(t[o], take_idx)
+            col = pc.if_else(vmask, col,
                              pa.nulls(1, result_schema.field(o).type)[0])
             arrays.append(col)
         return pa.Table.from_arrays(arrays, schema=result_schema)
 
-    return unioned.groupby(by).map_groups(group_asof, batch_format="pyarrow")
+    return unioned.groupby("__blk").map_groups(
+        block_asof, batch_format="pyarrow")
 
 
 def purchases_with_last_click(sf_dir: str) -> Dataset:
