@@ -1765,52 +1765,87 @@ def customers_without_orders(sf_dir: str, status: str = "P") -> Dataset:
 # running (cumulative) window function — SUM() OVER (PARTITION ... ORDER ...)
 # ---------------------------------------------------------------------------
 
-def user_running_totals(sf_dir: str) -> Dataset:
+def _user_block_runs(group: pa.Table):
+    """Shared fixed-block window kernel prologue: sort ONE hash block of
+    many users by (user_id, ts, event_id), return the sorted table, its
+    cents cumsum, and each row's key-run start index — everything the
+    segmented window kernels need, all vectorized."""
+    g = _cents(group, "value", "vc").sort_by(
+        [("user_id", "ascending"), ("ts", "ascending"),
+         ("event_id", "ascending")])
+    uid = g["user_id"].to_numpy(zero_copy_only=False)
+    n = uid.shape[0]
+    change = np.empty(n, bool)
+    change[0] = True
+    np.not_equal(uid[1:], uid[:-1], out=change[1:])
+    run_start = np.maximum.accumulate(
+        np.where(change, np.arange(n, dtype=np.int64), 0))
+    csum = np.cumsum(g["vc"].to_numpy(zero_copy_only=False))
+    return g, csum, run_start
+
+
+def _blk_int(arr, n_blocks: int) -> pa.Array:
+    """Fixed hash-block id for an integer key column (multiply-shift)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    h = arr.to_numpy(zero_copy_only=False).astype(np.uint64) \
+        * np.uint64(0x9E3779B97F4A7C15)
+    return pa.array(((h >> np.uint64(33)) % n_blocks).astype(np.int32))
+
+
+def user_running_totals(sf_dir: str, n_blocks: int = 64) -> Dataset:
     """Per-user running value total in (ts, event_id) order — the
     window-function shape (SUM() OVER (PARTITION BY user ORDER BY ts)).
-    Co-group by user, vectorized sort + integer cumsum inside the group;
-    only the slim (user, ts, event_id, cents) columns shuffle."""
+    Groups by hash(user) % n_blocks — a FIXED group count, never one Ray
+    group per user — then one segmented cumsum per block: global cumsum
+    minus the prefix before each row's key-run start. Only the slim
+    (user, ts, event_id, cents) columns shuffle; no per-user Python."""
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
+    def add_block(t: pa.Table) -> pa.Table:
+        return t.append_column("__blk", _blk_int(t["user_id"], n_blocks))
+
     def running(group: pa.Table) -> pa.Table:
-        g = _cents(group, "value", "vc").sort_by(
-            [("ts", "ascending"), ("event_id", "ascending")])
-        csum = np.cumsum(g["vc"].to_numpy(zero_copy_only=False))
+        g, csum, run_start = _user_block_runs(group)
+        base = np.where(run_start > 0, csum[run_start - 1], 0)
         return pa.table({
             "event_id": g["event_id"],
             "user_id": g["user_id"],
             "ts_us": pc.cast(g["ts"], pa.int64()),
-            "running_cents": pa.array(csum, pa.int64()),
+            "running_cents": pa.array(csum - base, pa.int64()),
         })
 
-    return ds.groupby("user_id").map_groups(running, batch_format="pyarrow")
+    return (ds.map_batches(add_block, batch_format="pyarrow")
+            .groupby("__blk").map_groups(running, batch_format="pyarrow"))
 
 
-def user_sliding_window(sf_dir: str, w: int = 4) -> Dataset:
+def user_sliding_window(sf_dir: str, w: int = 4, n_blocks: int = 64) -> Dataset:
     """Per-user SLIDING window sum — the last ``w`` events' value cents
     including the current one, in (ts, event_id) order: SUM() OVER
     (PARTITION BY user ORDER BY ts, event_id ROWS BETWEEN w-1 PRECEDING
     AND CURRENT ROW). Completes the window family (tumbling / hopping /
-    session / cumulative / sliding). Vectorized as a cumsum difference
-    inside each co-grouped user — only slim columns shuffle, same shape
-    as user_running_totals."""
+    session / cumulative / sliding). Same fixed-block shape as
+    user_running_totals; the window difference subtracts the cumsum at
+    max(i - w, run_start - 1), clipping every window at its key-run
+    boundary — fully vectorized across all users in the block."""
     ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
+    def add_block(t: pa.Table) -> pa.Table:
+        return t.append_column("__blk", _blk_int(t["user_id"], n_blocks))
+
     def sliding(group: pa.Table) -> pa.Table:
-        g = _cents(group, "value", "vc").sort_by(
-            [("ts", "ascending"), ("event_id", "ascending")])
-        vc = g["vc"].to_numpy(zero_copy_only=False)
-        csum = np.cumsum(vc)
-        out = csum.copy()
-        if len(vc) > w:
-            out[w:] = csum[w:] - csum[:-w]
+        g, csum, run_start = _user_block_runs(group)
+        n = csum.shape[0]
+        j = np.maximum(np.arange(n, dtype=np.int64) - w, run_start - 1)
+        out = csum - np.where(j >= 0, csum[np.maximum(j, 0)], 0)
         return pa.table({
             "event_id": g["event_id"],
             "user_id": g["user_id"],
             "sliding_sum_cents": pa.array(out, pa.int64()),
         })
 
-    return ds.groupby("user_id").map_groups(sliding, batch_format="pyarrow")
+    return (ds.map_batches(add_block, batch_format="pyarrow")
+            .groupby("__blk").map_groups(sliding, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
