@@ -757,15 +757,23 @@ def first_event_per_user(sf_dir: str) -> Dataset:
     """
     ds = _pq(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
     keys = [("ts", "ascending"), ("event_id", "ascending")]
+    n_blocks = 64
+
+    def add_block(t: pa.Table) -> pa.Table:
+        t = _partial_group_head(t, group_col="user_id", sort_keys=keys, k=1)
+        return t.append_column("__blk", _blk_int(t["user_id"], n_blocks))
 
     def head1(group: pa.Table) -> pa.Table:
-        return group.sort_by(keys).slice(0, 1)
+        # one block holds MANY users: sort, then vectorized run-head pick
+        g = group.drop_columns(["__blk"]).sort_by(
+            [("user_id", "ascending"), *keys])
+        return g.take(pa.array(_group_head_indices(g, "user_id", 1)))
 
+    # combiner-first (<=1 row per (user, batch) shuffles) into a FIXED
+    # block count — never one Ray group per user
     return (
-        ds.map_batches(_partial_group_head,
-                       fn_kwargs={"group_col": "user_id", "sort_keys": keys, "k": 1},
-                       batch_format="pyarrow")
-        .groupby("user_id")
+        ds.map_batches(add_block, batch_format="pyarrow")
+        .groupby("__blk")
         .map_groups(head1, batch_format="pyarrow")
     )
 
@@ -1145,48 +1153,55 @@ def event_sessions(sf_dir: str, gap_minutes: int = 30) -> Dataset:
     < ``gap_minutes`` form one session (the classic gaps-and-islands
     sessionization a streaming engine does with session windows).
 
-    Ray shape: groupby(user_id).map_groups — each group sorted by ts, gap
-    flags cumulated into session ids (ray_guide 'Streaming-shaped
-    workloads' pattern; ordering assumption: per-user, restored by the
-    in-group sort). Output: one row per session with start, n_events and
+    Ray shape: groupby(hash(user) % n_blocks) — a FIXED group count —
+    then ONE vectorized pass over each block: sort by (user, ts,
+    event_id), flag session starts where the user changes OR the gap is
+    >= the threshold, and read per-session first/last/count straight off
+    the boundary index arrays (ray_guide 'Streaming-shaped workloads'
+    pattern). Output: one row per session with start, n_events and
     duration_us (exact integers — hash-stable).
     """
     ds = _pq(sf_dir, "events", ["user_id", "event_id", "ts"])
     gap_us = gap_minutes * 60 * 1_000_000
+    n_blocks = 64
+
+    def add_block(t: pa.Table) -> pa.Table:
+        return t.append_column("__blk", _blk_int(t["user_id"], n_blocks))
 
     def sessions(group: pa.Table) -> pa.Table:
-        import numpy as np
-
-        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
-        ts = g["ts"].cast(pa.int64()).to_numpy()  # epoch micros
-        new_session = np.ones(len(ts), dtype=np.int64)
-        if len(ts) > 1:
-            new_session[1:] = (np.diff(ts) >= gap_us).astype(np.int64)
-        # session boundaries, fully vectorized: per-session first/last/count
-        # come from the boundary index array — no O(sessions x events)
-        # per-session masks
+        g = group.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                           ("event_id", "ascending")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].combine_chunks().cast(pa.int64()).to_numpy()
+        n = ts.shape[0]
+        # session starts: first row, user change, or gap >= threshold —
+        # one vectorized flag array covering every user in the block
+        new_session = np.ones(n, dtype=bool)
+        if n > 1:
+            new_session[1:] = (uid[1:] != uid[:-1]) | (np.diff(ts) >= gap_us)
         bounds = np.flatnonzero(new_session)          # first event per session
         n_sessions = bounds.size
         if n_sessions:
             ends = np.empty(n_sessions, dtype=np.int64)  # last event index
             ends[:-1] = bounds[1:] - 1
-            ends[-1] = len(ts) - 1
+            ends[-1] = n - 1
             counts = np.empty(n_sessions, dtype=np.int64)
             counts[:-1] = np.diff(bounds)
-            counts[-1] = len(ts) - bounds[-1]
+            counts[-1] = n - bounds[-1]
             starts = ts[bounds]
             durs = ts[ends] - starts
+            users = uid[bounds]
         else:
-            starts = counts = durs = np.empty(0, dtype=np.int64)
-        uid = g["user_id"][0].as_py() if len(ts) else None
+            starts = counts = durs = users = np.empty(0, dtype=np.int64)
         return pa.table({
-            "user_id": pa.array([uid] * n_sessions, pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
             "session_start": pa.array(starts).cast(pa.timestamp("us")),
             "n_events": pa.array(counts, pa.int64()),
             "duration_us": pa.array(durs, pa.int64()),
         })
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    return (ds.map_batches(add_block, batch_format="pyarrow")
+            .groupby("__blk").map_groups(sessions, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
