@@ -898,11 +898,30 @@ def curate_corpus(ds: Dataset, text_col: str = "text",
     slimmed = assign_splits(
         feats.map_batches(slim, batch_format="pyarrow"), id_col=id_col)
 
-    def first_per_hash(group: pa.Table) -> pa.Table:
-        return group.sort_by([(id_col, "ascending")]).slice(0, 1)
+    # exact dedupe keeps the min-id row per text_hash. Combiner-first
+    # (<=1 row per (hash, batch) shuffles), then a FIXED block count —
+    # never one Ray group per distinct hash — with a vectorized sorted
+    # run-head pick inside each block.
+    from .hashing import hash_strings
+    from .relational import _group_head_indices
 
-    keepers = slimmed.groupby("text_hash").map_groups(
-        first_per_hash, batch_format="pyarrow")
+    n_blocks = 64
+
+    def local_first(t: pa.Table) -> pa.Table:
+        g = t.sort_by([("text_hash", "ascending"), (id_col, "ascending")])
+        g = g.take(pa.array(_group_head_indices(g, "text_hash", 1)))
+        blk = (hash_strings(g["text_hash"]) % np.uint64(n_blocks)).astype(
+            np.int32)
+        return g.append_column("__blk", pa.array(blk))
+
+    def block_first(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["__blk"]).sort_by(
+            [("text_hash", "ascending"), (id_col, "ascending")])
+        return g.take(pa.array(_group_head_indices(g, "text_hash", 1)))
+
+    keepers = (slimmed.map_batches(local_first, batch_format="pyarrow")
+               .groupby("__blk")
+               .map_groups(block_first, batch_format="pyarrow"))
     return keepers.groupby(["split", source_col]).aggregate(
         Count(alias_name="n_docs"), Sum("n_words", alias_name="n_tokens"))
 
