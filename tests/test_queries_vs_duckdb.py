@@ -109,22 +109,24 @@ def test_priority_window_contains_new_and_core_queries():
     count (50 observed in r2 and r3). Every entry that has never had a
     driver CORRECTNESS row must sit inside the first 50; only entries
     already driver-green in r2/r3 may fall past the window (round 4
-    sacrifices: search_highlights, vocab_top_words, image_resize — all
-    green in CORRECTNESS_r03)."""
+    sacrifices: search_highlights, vocab_top_words, image_resize,
+    image_decode — all green in CORRECTNESS_r03)."""
     import __ray_entry__ as e
 
     names = list(e.queries())
     window = set(names[:50])
     must_be_inside = {
-        # never driver-certified before round 4 (VERDICT r3 item 1)
+        # never driver-certified before round 4 (VERDICT r3 item 1 +
+        # the new-in-r4 heavy-hitters sketch)
         "table_stats", "frame_sample", "user_sliding_window",
+        "heavy_hitter_words",
         # flagship family
         "flagship_extract", "flagship_rollup", "flagship_statuses",
         "extraction_confidence", "quarantine",
         # formerly-no_oracle hash/ANN/multimodal upgrades
         "minhash_pairs", "minhash_clusters", "simhash_pairs",
         "fingerprints", "lsh_topk", "ivf_topk", "ivf_index_topk",
-        "jaccard_pairs", "extract_then_neardup", "image_decode",
+        "jaccard_pairs", "extract_then_neardup",
         "export_docx",
         # round-3 training-data operators
         "gopher_quality", "decontaminate", "dup_passages",

@@ -192,3 +192,61 @@ def test_quantile_sketch_estimates_and_partition_invariance(ray_session):
             est = row[f"p{q}_est"]
             assert est >= exact  # upper-bound estimator
             assert (est - exact) / exact <= 0.125 + 0.01
+
+
+def test_heavy_hitter_words_mg_compaction_matches_bruteforce(ray_session):
+    """Randomized differential on a LARGE vocabulary with k small enough
+    to force Misra-Gries compaction in every batch: the certified
+    candidate + exact-recount pipeline must equal brute-force counting."""
+    import collections
+    import random
+
+    import pyarrow as pa
+
+    import ray.data
+    from unravel_ray.sketch import heavy_hitter_words
+
+    rng = random.Random(99)
+    # Zipf-ish: few hot words + a long tail far wider than k
+    hot = [f"hot{i}" for i in range(8)]
+    tail = [f"t{i}" for i in range(3000)]
+    docs = []
+    for _ in range(400):
+        words = [rng.choice(hot) for _ in range(rng.randrange(3, 9))]
+        words += [rng.choice(tail) for _ in range(rng.randrange(10, 30))]
+        rng.shuffle(words)
+        docs.append(" ".join(words))
+    truth = collections.Counter(w for d in docs for w in d.split())
+    min_count = 180
+    want = {w: c for w, c in truth.items() if c >= min_count}
+    assert want, "fixture must produce at least one heavy hitter"
+
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(docs, pa.string())}))
+    ds = ds.repartition(8)
+    got = {r["word"]: r["n_occurrences"]
+           for r in heavy_hitter_words(ds, min_count=min_count,
+                                       k=64).take_all()}
+    assert got == want
+
+
+def test_heavy_hitter_words_raises_when_uncertifiable(ray_session):
+    """When the accumulated MG offset reaches min_count the candidate set
+    cannot be certified complete — the operator must refuse, not return
+    silently-incomplete results."""
+    import random
+
+    import pyarrow as pa
+    import pytest
+
+    import ray.data
+    from unravel_ray.sketch import heavy_hitter_words
+
+    rng = random.Random(7)
+    # uniform wide vocabulary: every batch compacts aggressively, so the
+    # offset grows past any small threshold
+    docs = [" ".join(rng.choice([f"w{i}" for i in range(2000)])
+                     for _ in range(50)) for _ in range(300)]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(docs, pa.string())}))
+    ds = ds.repartition(8)
+    with pytest.raises(ValueError, match="certified"):
+        heavy_hitter_words(ds, min_count=3, k=8)

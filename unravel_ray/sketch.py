@@ -266,3 +266,118 @@ def quantile_sketch(ds: Dataset, value_col: str, group_col: str,
         return pa.table(cols)
 
     return hist.groupby("g").map_groups(fold, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters — Misra-Gries candidates + exact recount verify
+# ---------------------------------------------------------------------------
+
+def heavy_hitter_words(ds: Dataset, min_count: int, k: int = 512,
+                       text_col: str = "text") -> Dataset:
+    """Every word whose corpus frequency is >= ``min_count``, EXACT —
+    via the at-scale two-phase shape: bounded-state Misra-Gries
+    candidate generation, then an exact recount restricted to the
+    candidates (completing the mergeable-sketch family: HLL distinct,
+    log-bucket quantiles, and now frequency heavy hitters).
+
+    Phase 1 (sketch): each batch computes exact in-batch word counts
+    (Arrow value_counts), then MG-compacts to <= k counters by
+    subtracting the (k+1)-th largest count and dropping non-positives;
+    the subtracted offset is emitted as a marker row. Counter sums merge
+    itemwise in one slim groupby — the classic mergeable-summary
+    property — and any word with true count >= min_count retains a
+    merged count >= min_count - off_total, so filtering the merged
+    sketch at that bound yields a certified-complete candidate set.
+    The filter runs distributed; the driver only ever holds the
+    candidates (<= total_words / (min_count - off_total) of them) plus
+    one marker row. Raises when off_total >= min_count (k too small to
+    certify completeness for this corpus/threshold — grow k).
+
+    Phase 2 (verify): candidates broadcast once via ray.put; a second
+    tokenize pass keeps only candidate words (vectorized is_in),
+    combiner-first counts them exactly, and the final filter applies
+    min_count to TRUE counts — false positives from phase 1 drop out,
+    so the result is hash-identical to SQL GROUP BY/HAVING.
+
+    Tokenization contract matches vocab_top_words: lowercase, split on
+    whitespace, drop empties. The merged sketch is consumed eagerly at
+    graph-construction time (documented bounded driver collection, same
+    family as decontaminate's eval set).
+    """
+    import ray
+
+    _MARK = "\x00__mg_off__"
+
+    def tokenize(batch: pa.Table) -> pa.Array:
+        words = pc.list_flatten(pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(batch[text_col], "")), r"\s+"))
+        return words.filter(pc.not_equal(words, ""))
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        vc = tokenize(batch).value_counts()
+        vals = vc.field("values")
+        cnts = pc.cast(vc.field("counts"), pa.int64()).to_numpy(
+            zero_copy_only=False)
+        off = 0
+        if cnts.shape[0] > k:
+            off = int(np.partition(cnts, -k - 1)[-k - 1])  # (k+1)-th largest
+            keep = cnts > off
+            vals = vals.filter(pa.array(keep))
+            cnts = cnts[keep] - off
+        return pa.table({
+            "word": pa.concat_arrays([vals.combine_chunks()
+                                      if isinstance(vals, pa.ChunkedArray)
+                                      else vals,
+                                      pa.array([_MARK], type=pa.string())]),
+            "cnt": pa.array(np.concatenate([cnts, [off]]), pa.int64()),
+        })
+
+    # materialized ONCE: the merged sketch is slim (word, cnt) rows,
+    # bounded by k x input blocks, and is read twice below (offset row,
+    # then the distributed candidate filter)
+    merged = (
+        ds.map_batches(mg_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+
+    def pick_off(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["word"], _MARK))
+
+    off_rows = merged.map_batches(pick_off, batch_format="pyarrow").take_all()
+    off_total = int(off_rows[0]["cnt"]) if off_rows else 0
+    if off_total >= min_count:
+        raise ValueError(
+            f"heavy_hitter_words: accumulated MG offset {off_total} >= "
+            f"min_count {min_count}; candidates cannot be certified "
+            f"complete — increase k (got {k})")
+    bound = min_count - off_total
+
+    def survivors(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["cnt"], bound),
+                    pc.not_equal(t["word"], _MARK))
+        return t.filter(m).select(["word"])
+
+    cand_words = pa.array(
+        [r["word"] for r in merged.map_batches(
+            survivors, batch_format="pyarrow").take_all()], pa.string())
+    cand_ref = ray.put(cand_words)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(cand_ref)
+        words = tokenize(batch)
+        words = words.filter(pc.is_in(words, value_set=wanted))
+        vc = words.value_counts()
+        return pa.table({"word": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    def apply_min(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_occurrences"], min_count))
+
+    return (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="n_occurrences"))
+        .map_batches(apply_min, batch_format="pyarrow")
+    )
