@@ -196,6 +196,45 @@ def test_distributed_components_match_union_find(ray_session):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_distributed_components_long_chain_converges(ray_session):
+    """Diameter-14 chain (VERDICT r4 item 1): the old fixed-8-round loop
+    under-merged any component deeper than 8 hops; the convergence loop
+    must match driver union-find exactly, and must RAISE (not silently
+    under-merge) when capped below the diameter."""
+    import pytest
+
+    from unravel_ray.dedup import propagate_min_labels_distributed
+
+    # worst case for min-label propagation: the min id sits at one END of
+    # the chain, so the label must travel the full diameter
+    chain = [(i, i + 1) for i in range(100, 114)]  # nodes 100..114, diam 14
+    extra = [(500, 501), (501, 502)]
+    ds = ray.data.from_items(
+        [{"a": a, "b": b} for a, b in chain + extra]).materialize()
+
+    # union-find oracle
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in chain + extra:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    got = {r["node"]: r["label"]
+           for r in propagate_min_labels_distributed(ds).take_all()}
+    assert got == want
+
+    with pytest.raises(RuntimeError, match="still changing"):
+        propagate_min_labels_distributed(ds, n_rounds=4).take_all()
+
+
 def test_embedding_neardup_bucketed_matches_broadcast(ray_session):
     """High-threshold regime: the LSH-banded path must find the same pairs
     the exact broadcast path finds on clustered vectors."""

@@ -901,7 +901,7 @@ def embedding_neardup_bucketed(ds: Dataset, threshold: float = 0.95,
     return pairs.groupby(["a", "b"]).aggregate(Min("cos", alias_name="cos"))
 
 
-def propagate_min_labels_distributed(edges: Dataset, n_rounds: int = 8) -> Dataset:
+def propagate_min_labels_distributed(edges: Dataset, n_rounds: int = 64) -> Dataset:
     """Connected components with NO driver-held state — the 100 TB path.
 
     Each round is two slim shuffles (int64 columns only):
@@ -912,10 +912,18 @@ def propagate_min_labels_distributed(edges: Dataset, n_rounds: int = 8) -> Datas
        alongside (node, label);
     2. ``groupby(node).min(label)`` folds candidates into new labels.
 
-    Converges in O(max component diameter) rounds (near-dup clusters are
-    shallow). Pass a materialized ``edges`` dataset; labels stay
-    distributed end to end, unlike `propagate_min_labels`.
-    Returns labels(node, label).
+    Iterates to a FIXED POINT: each round carries the node's previous
+    label (``prev``, one non-null row per node through the Min fold) and
+    stops when zero labels changed — min-label propagation moves a label
+    one hop per round, so a fixed round count silently under-merges any
+    component whose diameter exceeds it (chained template/boilerplate
+    families at crawl scale). ``n_rounds`` is a SAFETY CAP, not a target;
+    if labels are still moving when it is hit we raise rather than emit
+    under-merged clusters. The convergence check is one slim per-block
+    count + scalar sum per round — no extra shuffle.
+
+    Pass a materialized ``edges`` dataset; labels stay distributed end to
+    end, unlike `propagate_min_labels`. Returns labels(node, label).
     """
 
     def seed_labels(batch: pa.Table) -> pa.Table:
@@ -968,23 +976,48 @@ def propagate_min_labels_distributed(edges: Dataset, n_rounds: int = 8) -> Datas
         # guard so a stray one never mints INT64_MAX labels
         has_lab = runmin != _INT64_MAX
         peer_keep = peer_valid & has_lab[run_id]
+        # prev = the node's current label (exactly one label row per node
+        # post-aggregate, all in this block, so runmin over label rows IS
+        # the old label); null on peer-candidate rows so Min(prev) per
+        # node recovers the pre-round label for the convergence check.
+        n_peer = int(peer_keep.sum())
         return pa.table({
             "node": pa.array(np.concatenate(
                 [node[starts][has_lab], peer[peer_keep]]), pa.int64()),
             "label": pa.array(np.concatenate(
                 [runmin[has_lab], runmin[run_id][peer_keep]]), pa.int64()),
+            "prev": pa.concat_arrays(
+                [pa.array(runmin[has_lab], pa.int64()),
+                 pa.nulls(n_peer, pa.int64())]),
         })
 
-    for _ in range(n_rounds):
-        def with_peer(batch: pa.Table) -> pa.Table:
-            return batch.append_column("peer", pa.array([None] * batch.num_rows, pa.int64()))
+    def with_peer(batch: pa.Table) -> pa.Table:
+        nulls = pa.nulls(batch.num_rows, pa.int64())
+        return pa.table({"node": batch["node"], "label": batch["label"],
+                         "peer": nulls})
 
+    def changed_partial(t: pa.Table) -> pa.Table:
+        n = pc.sum(pc.cast(pc.not_equal(t["label"], t["prev"]),
+                           pa.int64())).as_py() or 0
+        return pa.table({"chg": pa.array([n], pa.int64())})
+
+    for rnd in range(n_rounds):
         unioned = labels.map_batches(with_peer, batch_format="pyarrow").union(edge_ds)
-        labels = (
+        folded = (
             unioned.map_batches(add_block, batch_format="pyarrow")
             .groupby("blk")
             .map_groups(fold_candidates, batch_format="pyarrow")
             .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
+            .aggregate(Min("label", alias_name="label"),
+                       Min("prev", alias_name="prev"))
+            .materialize()
         )
-    return labels
+        labels = folded.select_columns(["node", "label"])
+        changed = folded.map_batches(
+            changed_partial, batch_format="pyarrow").sum("chg") or 0
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"propagate_min_labels_distributed: labels still changing after "
+        f"{n_rounds} rounds (component diameter exceeds the cap); raise "
+        f"n_rounds rather than emit under-merged clusters")
