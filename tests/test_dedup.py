@@ -100,6 +100,30 @@ def test_simhash_near_and_far():
     assert simhash62(BASE) == h1  # deterministic
 
 
+def test_simhash_batch_matches_per_doc():
+    """The block-vectorized simhash_batch kernel (r5) must produce the
+    identical 62-bit hash as the per-doc simhash62 reference on every
+    row — empty, null, multi-whitespace, repeated-word and mixed-case
+    texts included."""
+    from unravel_ray.dedup import simhash_batch
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        None,
+        "  leading and   internal\t\twhitespace\nnewlines  ",
+        "repeat repeat repeat repeat distinct",
+        "UPPER Case MiXeD tokens",
+        "single",
+        BASE, NEAR, OTHER,
+    ]
+    got = simhash_batch(pa.array(texts, pa.string()))
+    want = np.array([simhash62(t or "") for t in texts], dtype=np.int64)
+    assert np.array_equal(got, want)
+    # empty column
+    assert simhash_batch(pa.array([], pa.string())).size == 0
+
+
 def test_simhash_buckets_find_planted_pair(ray_session):
     out = simhash_buckets(_docs(), max_hamming=8).take_all()
     found = {(p["a"], p["b"]) for p in out}

@@ -521,6 +521,43 @@ def simhash62(text: str) -> int:
                 << np.arange(SIMHASH_BITS, dtype=np.int64)).sum())
 
 
+def simhash_batch(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """62-bit SimHash for a whole column at once — the vectorized twin of
+    `simhash62` (pinned equal by tests/test_dedup.py).
+
+    One flat word array for the batch (`_flat_words`: utf8 lower, regex
+    ``\\s+`` split, empties dropped — the same split the DuckDB oracle's
+    ``string_split_regex`` performs), char-fold hashes computed once per
+    DISTINCT word (dictionary encode + worker cache), then 62 bit-plane
+    passes of sign-vote-per-document via ``np.add.reduceat`` over the
+    sorted parent segments. Zero per-doc Python. Rows with no words get
+    simhash 0 (simhash62's convention)."""
+    from .textstats import _flat_words
+
+    n_rows = len(texts)
+    h = np.zeros(n_rows, dtype=np.int64)
+    _, flat, parent = _flat_words(texts)
+    if len(flat) == 0:
+        return h
+    denc = flat.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = denc.dictionary.to_pylist()
+    u1 = np.fromiter((_word_hash(w) for w in uniq),
+                     dtype=np.int64, count=len(uniq))
+    u2 = np.fromiter((_word_hash(w, _CHAR_B2) for w in uniq),
+                     dtype=np.int64, count=len(uniq))
+    wh = u1[codes] + (u2[codes] << 31)  # h1 + h2·2^31 per occurrence
+    seg_starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+    seg_docs = parent[seg_starts]
+    hseg = np.zeros(seg_starts.size, dtype=np.int64)
+    for j in range(SIMHASH_BITS):
+        pm = ((wh >> j) & 1) * 2 - 1          # ±1 vote per occurrence
+        votes = np.add.reduceat(pm, seg_starts)
+        hseg |= (votes > 0).astype(np.int64) << j
+    h[seg_docs] = hseg
+    return h
+
+
 def simhash_buckets(ds: Dataset, n_tables: int | None = None, text_col: str = "text",
                     id_col: str = "doc_id", max_hamming: int = 3) -> Dataset:
     """SimHash near-dup candidate pairs.
@@ -546,21 +583,25 @@ def simhash_buckets(ds: Dataset, n_tables: int | None = None, text_col: str = "t
     starts = [sum(widths[:t]) for t in range(n_tables)]
 
     def sim_batch(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        texts = batch[text_col].to_pylist()
-        t_out, k_out, i_out, h_out = [], [], [], []
-        for did, text in zip(ids, texts):
-            h = simhash62(text)
-            for t in range(n_tables):
-                k_out.append((h >> starts[t]) & ((1 << widths[t]) - 1))
-                t_out.append(t)
-                i_out.append(did)
-                h_out.append(h)
+        # Block-vectorized signatures (VERDICT r4 item 3, mirroring the r3
+        # MinHash treatment) — see simhash_batch; bucket-key emission is
+        # n_tables vectorized shifts over the whole batch.
+        n_rows = batch.num_rows
+        h = simhash_batch(batch[text_col])
+        col = batch[id_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if isinstance(col, pa.ChunkedArray):  # older pyarrow keeps chunking
+            col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+        key_out = np.concatenate(
+            [(h >> starts[t]) & ((1 << widths[t]) - 1)
+             for t in range(n_tables)]) if n_rows else np.empty(0, np.int64)
         return pa.table({
-            "tbl": pa.array(t_out, pa.int32()),
-            "key": pa.array(k_out, pa.int64()),
-            "id": pa.array(i_out),
-            "simhash": pa.array(h_out, pa.int64()),  # 62-bit fits signed
+            "tbl": pa.array(np.repeat(np.arange(n_tables, dtype=np.int32),
+                                      n_rows)),
+            "key": pa.array(key_out, pa.int64()),
+            "id": pa.concat_arrays([col] * n_tables),
+            "simhash": pa.array(np.tile(h, n_tables), pa.int64()),
         })
 
     def _pairs_in_run(ids, hs, idxs, a_o, b_o, d_o) -> None:
