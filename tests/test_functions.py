@@ -135,3 +135,24 @@ def test_hash_strings_value_pure_and_layout_invariant():
     assert len(set(hv.tolist())) == 20_000  # no collisions on a real keyset
     counts = np.bincount((hv % np.uint64(64)).astype(np.int64), minlength=64)
     assert counts.min() > 150  # ~312 expected; no starved bucket
+
+
+def test_hash_strings_chunked_long_text_path():
+    """Long-text columns trip the bounded-scratch row-slicing path
+    (ADVICE r4); hashes must be identical to the one-pass kernel,
+    including when a single row exceeds the chunk budget."""
+    import pyarrow as pa
+
+    from unravel_ray import hashing
+
+    vals = ["x" * 5_000, "short", None, "y" * 12_000, "", "z" * 7_000,
+            "mid" * 100]
+    a = pa.array(vals)
+    one_pass = hashing.hash_strings(a)
+    orig = hashing._CHUNK_BYTES
+    try:
+        hashing._CHUNK_BYTES = 4_096  # forces slicing; row 3 alone exceeds it
+        sliced = hashing.hash_strings(a)
+    finally:
+        hashing._CHUNK_BYTES = orig
+    assert (sliced == one_pass).all()

@@ -33,12 +33,22 @@ def _splitmix(h: np.ndarray) -> np.ndarray:
     return h ^ (h >> np.uint64(31))
 
 
+_CHUNK_BYTES = 1 << 26  # 64 MiB of flattened payload per kernel pass
+
+
 def hash_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """uint64 value-hash of a string/binary Arrow array, vectorized.
 
     Nulls and empty strings hash to the same (finalized-zero) constant;
     join semantics never compare null keys, so placement is all that
     matters. Dictionary arrays are hashed through their decoded values.
+
+    Scratch memory: the segmented fold materializes several
+    O(total_bytes) int64 temporaries (~40x the UTF-8 payload). Intended
+    for SHORT values — join keys, grams, bucket tags; when a batch's
+    flattened payload exceeds ``_CHUNK_BYTES`` (long-text columns), rows
+    are processed in bounded slices so peak scratch stays flat
+    (ADVICE r4).
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -65,6 +75,21 @@ def hash_strings(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     total = int(lens.sum())
     if total == 0:
         return _splitmix(lens.astype(np.uint64))
+    if total > _CHUNK_BYTES and n > 1:
+        # bounded-scratch path for long values: recurse on row slices
+        # whose payload fits the chunk budget (a single over-budget row
+        # still processes alone — n > 1 guards the recursion)
+        cum = np.cumsum(lens)
+        out = np.empty(n, np.uint64)
+        prev = 0
+        while prev < n:
+            base = int(cum[prev - 1]) if prev else 0
+            # largest b with slice payload (cum[b-1] - base) <= budget
+            b = int(np.searchsorted(cum, base + _CHUNK_BYTES, side="right"))
+            b = min(max(b, prev + 1), n)
+            out[prev:b] = hash_strings(arr.slice(prev, b - prev))
+            prev = b
+        return out
     data = np.frombuffer(bufs[2], np.uint8, count=int(bufs[2].size))
     seg0 = np.concatenate(([0], np.cumsum(lens)[:-1]))         # flat starts
     flat_pos = np.arange(total, dtype=np.int64) - np.repeat(seg0, lens)

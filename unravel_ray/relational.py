@@ -1790,6 +1790,8 @@ def _user_block_runs(group: pa.Table):
          ("event_id", "ascending")])
     uid = g["user_id"].to_numpy(zero_copy_only=False)
     n = uid.shape[0]
+    if n == 0:  # empty group guard (ADVICE r4), matching _group_head_indices
+        return g, np.empty(0, np.int64), np.empty(0, np.int64)
     change = np.empty(n, bool)
     change[0] = True
     np.not_equal(uid[1:], uid[:-1], out=change[1:])
@@ -2013,8 +2015,14 @@ def storage_reconcile(sf_dir: str, team_region: str = "ASIA") -> Dataset:
     def reconcile(batch: pa.Table) -> pa.Table:
         key_arr, name_arr, inteam_np = ray.get(route_ref)
         used = pc.fill_null(batch["used_cents"], 0)
-        idx = pc.index_in(batch["c_nationkey"], value_set=key_arr).to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        idx_arr = pc.index_in(batch["c_nationkey"], value_set=key_arr)
+        if idx_arr.null_count:  # unmapped key would NaN->garbage-index (ADVICE r4)
+            missing = pc.unique(batch["c_nationkey"].filter(
+                pc.is_null(idx_arr))).to_pylist()
+            raise ValueError(
+                f"storage_reconcile: c_nationkey values {missing[:5]} missing "
+                f"from the nation broadcast lookup")
+        idx = idx_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         teams_arr = pc.take(name_arr, pa.array(idx))
         in_team = inteam_np[idx]
         drift = pc.not_equal(batch["ledger_cents"], used).to_numpy(

@@ -306,8 +306,6 @@ def heavy_hitter_words(ds: Dataset, min_count: int, k: int = 512,
     """
     import ray
 
-    _MARK = "\x00__mg_off__"
-
     def tokenize(batch: pa.Table) -> pa.Array:
         words = pc.list_flatten(pc.split_pattern_regex(
             pc.utf8_lower(pc.fill_null(batch[text_col], "")), r"\s+"))
@@ -324,12 +322,18 @@ def heavy_hitter_words(ds: Dataset, min_count: int, k: int = 512,
             keep = cnts > off
             vals = vals.filter(pa.array(keep))
             cnts = cnts[keep] - off
+        # the subtracted offset travels in a DEDICATED marker column, not
+        # as a reserved value in the word domain (ADVICE r4: a corpus
+        # token equal to an in-band sentinel would fold into the offset
+        # accumulator and silently drop from the result)
+        n = len(vals)
         return pa.table({
             "word": pa.concat_arrays([vals.combine_chunks()
                                       if isinstance(vals, pa.ChunkedArray)
                                       else vals,
-                                      pa.array([_MARK], type=pa.string())]),
+                                      pa.array([""], type=pa.string())]),
             "cnt": pa.array(np.concatenate([cnts, [off]]), pa.int64()),
+            "is_marker": pa.array([0] * n + [1], pa.int8()),
         })
 
     # materialized ONCE: the merged sketch is slim (word, cnt) rows,
@@ -337,13 +341,13 @@ def heavy_hitter_words(ds: Dataset, min_count: int, k: int = 512,
     # then the distributed candidate filter)
     merged = (
         ds.map_batches(mg_partial, batch_format="pyarrow")
-        .groupby("word")
+        .groupby(["word", "is_marker"])
         .aggregate(Sum("cnt", alias_name="cnt"))
         .materialize()
     )
 
     def pick_off(t: pa.Table) -> pa.Table:
-        return t.filter(pc.equal(t["word"], _MARK))
+        return t.filter(pc.equal(t["is_marker"], 1))
 
     off_rows = merged.map_batches(pick_off, batch_format="pyarrow").take_all()
     off_total = int(off_rows[0]["cnt"]) if off_rows else 0
@@ -356,7 +360,7 @@ def heavy_hitter_words(ds: Dataset, min_count: int, k: int = 512,
 
     def survivors(t: pa.Table) -> pa.Table:
         m = pc.and_(pc.greater_equal(t["cnt"], bound),
-                    pc.not_equal(t["word"], _MARK))
+                    pc.equal(t["is_marker"], 0))
         return t.filter(m).select(["word"])
 
     cand_words = pa.array(
