@@ -63,6 +63,36 @@ class _ExplodeBuilder:
         self.needs_ocr.append(needs_ocr)
         self.pdf_mode.append(pdf_mode)
 
+    def runs(self, kinds, texts, off, seq0: int) -> int:
+        """Bulk-append m text runs sharing one offset (html/text spans):
+        eight list.extend calls instead of m unit() calls — the unit()
+        call-per-run overhead was ~15% of explode profile time (r5).
+        Returns the next sub sequence number."""
+        m = len(kinds)
+        self.kind.extend(kinds)
+        self.text.extend(texts)
+        self.media_ref.extend([None] * m)
+        self.offset.extend([off] * m)
+        self.sub.extend(range(seq0, seq0 + m))
+        self.page_no.extend([None] * m)
+        self.needs_ocr.extend([False] * m)
+        self.pdf_mode.extend([None] * m)
+        return seq0 + m
+
+    def pdf_units(self, page_nos, texts, media_refs, off, seq0: int,
+                  needs_ocr: bool, pdf_mode: str) -> int:
+        """Bulk-append the selected pages of one PDF."""
+        m = len(page_nos)
+        self.kind.extend(["pdf_page"] * m)
+        self.text.extend(texts)
+        self.media_ref.extend(media_refs)
+        self.offset.extend([off] * m)
+        self.sub.extend(range(seq0, seq0 + m))
+        self.page_no.extend(page_nos)
+        self.needs_ocr.extend([needs_ocr] * m)
+        self.pdf_mode.extend([pdf_mode] * m)
+        return seq0 + m
+
     def end_doc(self, n_before: int, doc_status="ok", error_message=None,
                 size_bucket=0) -> None:
         """Close the current doc: record per-doc metadata + unit count.
@@ -148,9 +178,19 @@ def explode_extract(batch: pa.Table) -> pa.Table:
         ft = flat.field("text").to_pylist()
         fm = flat.field("media_ref").to_pylist()
         fo = flat.field("offset").to_pylist()
+        # ONE stable lexsort for the whole batch replaces a Python
+        # sorted() per doc: parent segments are contiguous, so
+        # global_order[lo:hi] is doc i's span indices in (offset,
+        # input-position) order — identical to sorted(range(lo,hi),
+        # key=fo.__getitem__) (np.lexsort is a sequence of stable sorts)
+        fo_np = flat.field("offset").to_numpy(zero_copy_only=False)
+        parent_np = np.repeat(np.arange(n, dtype=np.int64),
+                              np.asarray(lengths, dtype=np.int64))
+        global_order = np.lexsort((fo_np, parent_np)).tolist()
     else:
         lengths = [0] * n
         fk = ft = fm = fo = []
+        global_order = []
 
     out = _ExplodeBuilder()
     lo = 0
@@ -162,7 +202,8 @@ def explode_extract(batch: pa.Table) -> pa.Table:
                         error_message=prechecks[i])
         else:
             _explode_doc(out, n_before, mimes[i], sizes[i], sps[i], eps[i],
-                         pgs[i], fk, ft, fm, fo, lo, hi, storage_errs[i])
+                         pgs[i], fk, ft, fm, fo, lo, hi, storage_errs[i],
+                         global_order[lo:hi])
         lo = hi
     return out.table(batch)
 
@@ -170,8 +211,10 @@ def explode_extract(batch: pa.Table) -> pa.Table:
 def _explode_doc(out: _ExplodeBuilder, n_before: int, mime, size,
                  start_page, end_page, pages,
                  fk, ft, fm, fo, lo: int, hi: int,
-                 storage_error=None) -> None:
-    """Explode one doc whose spans live at flat indices [lo, hi)."""
+                 storage_error=None, order=None) -> None:
+    """Explode one doc whose spans live at flat indices [lo, hi);
+    ``order`` is the doc's slice of the batch-global (offset, position)
+    lexsort (recomputed here only when called standalone)."""
     if mime not in ALLOWED_MIMES:
         out.end_doc(n_before, doc_status="failed_validation",
                     error_message=f"Invalid file type: {mime}")
@@ -188,7 +231,8 @@ def _explode_doc(out: _ExplodeBuilder, n_before: int, mime, size,
                     error_message=storage_error)
         return
 
-    order = sorted(range(lo, hi), key=fo.__getitem__)
+    if order is None:
+        order = sorted(range(lo, hi), key=fo.__getitem__)
     pdf_pages = [j for j in order if fk[j] == "pdf_page"]
 
     selected: list[int] = []
@@ -213,14 +257,14 @@ def _explode_doc(out: _ExplodeBuilder, n_before: int, mime, size,
     for j in order:
         kind, off = fk[j], fo[j]
         if kind == "html":
-            for k, t in extract_html_spans(ft[j] or ""):
-                unit(kind=k, text=t, offset=off, sub=seq)
-                seq += 1
+            spans = extract_html_spans(ft[j] or "")
+            if spans:
+                ks, ts = zip(*spans)
+                seq = out.runs(ks, ts, off, seq)
         elif kind == "text":
-            for line in split_plain_text(ft[j]):
-                if line:
-                    unit(kind="text", text=line, offset=off, sub=seq)
-                    seq += 1
+            lines = [ln for ln in split_plain_text(ft[j]) if ln]
+            if lines:
+                seq = out.runs(["text"] * len(lines), lines, off, seq)
         elif kind == "image":
             unit(kind="image", media_ref=fm[j], offset=off, sub=seq,
                  needs_ocr=True)
@@ -230,17 +274,16 @@ def _explode_doc(out: _ExplodeBuilder, n_before: int, mime, size,
                 continue
             pdf_done = True
             sel_pages = [(i + 1, ft[pdf_pages[i]]) for i in selected]
+            page_nos = [i + 1 for i in selected]
             if needs_ocr_mode(sel_pages):
-                for i in selected:
-                    unit(kind="pdf_page", media_ref=fm[pdf_pages[i]],
-                         offset=off, sub=seq, page_no=i + 1, needs_ocr=True,
-                         pdf_mode="ocr")
-                    seq += 1
+                seq = out.pdf_units(page_nos, [None] * len(selected),
+                                    [fm[pdf_pages[i]] for i in selected],
+                                    off, seq, True, "ocr")
             else:
-                for i in selected:
-                    unit(kind="pdf_page", text=ft[pdf_pages[i]], offset=off,
-                         sub=seq, page_no=i + 1, pdf_mode="direct")
-                    seq += 1
+                seq = out.pdf_units(page_nos,
+                                    [ft[pdf_pages[i]] for i in selected],
+                                    [None] * len(selected),
+                                    off, seq, False, "direct")
         elif ft[j] or fm[j]:
             unit(kind=kind, text=ft[j], media_ref=fm[j], offset=off, sub=seq)
             seq += 1
