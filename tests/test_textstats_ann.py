@@ -52,6 +52,28 @@ def test_fingerprint_stability_and_sensitivity():
     assert fingerprint64("") == "0" * 16
 
 
+def test_fingerprint_batch_matches_per_doc():
+    """The vectorized fingerprint_batch kernel (r5) must equal the
+    per-doc fingerprint64 reference on every row, across the len<=window
+    (min word hash) vs len>window (window fold) boundary and on
+    null/empty/whitespace/repeated-word rows."""
+    from unravel_ray.textstats import fingerprint_batch
+
+    texts = [
+        "", None, "one",
+        "a b c d e f g",                    # 7 words  (< window)
+        "a b c d e f g h",                  # 8 words  (== window: min word)
+        "a b c d e f g h i",                # 9 words  (> window: fold)
+        " ".join(f"word{i}" for i in range(50)),
+        "  spaced\t\tout\nwords  ",
+        "dup dup dup dup dup dup dup dup dup dup",
+        "UPPER case Mixed",
+    ]
+    got = fingerprint_batch(pa.array(texts, pa.string()))
+    assert got == [fingerprint64(t or "") for t in texts]
+    assert fingerprint_batch(pa.array([], pa.string())) == []
+
+
 def _embeddings(n=200, dim=16, seed=3):
     rng = np.random.RandomState(seed)
     mat = rng.normal(size=(n, dim))

@@ -194,9 +194,58 @@ def fingerprint64(text: str, window: int = 8) -> str:
     return f"{combined:016x}"
 
 
+def fingerprint_batch(texts: pa.Array | pa.ChunkedArray,
+                      window: int = 8) -> list[str]:
+    """Winnowing fingerprints for a whole column at once — the vectorized
+    twin of `fingerprint64` (pinned equal by tests). One `_flat_words`
+    pass, word hashes once per DISTINCT word (dictionary encode + worker
+    cache), ONE batch-wide window polynomial fold (``window`` shifted
+    passes over the flat array), then per-doc minima via
+    ``np.minimum.reduceat`` — per-doc Python is just the final hex
+    format (VERDICT r4 item 5). Docs with <= window words take the min
+    WORD hash (fingerprint64's convention); empty/null docs render
+    ``'0'*16 == format(0, '016x')``."""
+    from .dedup import P31, _POLY31, _word_hash
+
+    n_rows = len(texts)
+    out = np.zeros(n_rows, dtype=np.int64)
+    _, flat, parent = _flat_words(texts)
+    if len(flat):
+        denc = flat.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = denc.dictionary.to_pylist()
+        uh = np.fromiter((_word_hash(w) for w in uniq),
+                         dtype=np.int64, count=len(uniq))
+        wh = uh[codes]
+        seg_starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+        seg_docs = parent[seg_starts]
+        seg_lens = np.diff(np.r_[seg_starts, wh.size])
+        combined = np.minimum.reduceat(wh, seg_starts)  # <= window docs
+        big = seg_lens > window
+        if big.any():
+            m = wh.size - window + 1
+            acc = np.zeros(m, dtype=np.int64)
+            for j in range(window):
+                acc *= _POLY31
+                acc += wh[j:j + m]
+                acc %= P31
+            # windows crossing doc boundaries exist in acc but are never
+            # reduced over: each doc's valid window starts are the
+            # contiguous [s, s + len - window + 1) slice
+            acc_ext = np.r_[acc, np.int64(np.iinfo(np.int64).max)]
+            s = seg_starts[big]
+            e = s + seg_lens[big] - window + 1
+            idx = np.empty(2 * s.size, np.int64)
+            idx[0::2] = s
+            idx[1::2] = e
+            combined[big] = np.minimum.reduceat(acc_ext, idx)[0::2]
+        out[seg_docs] = combined
+    return [f"{v:016x}" for v in out]
+
+
 def fingerprints(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
     def fp(batch: pa.Table) -> pa.Table:
-        vals = pa.array([fingerprint64(t) for t in batch[text_col].to_pylist()], pa.string())
+        vals = pa.array(fingerprint_batch(batch[text_col]), pa.string())
         return pa.table({id_col: batch[id_col], "fingerprint": vals})
 
     return ds.map_batches(fp, batch_format="pyarrow")
