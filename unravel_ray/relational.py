@@ -1872,23 +1872,34 @@ def user_sliding_window(sf_dir: str, w: int = 4, n_blocks: int = 64) -> Dataset:
 def event_props_stats(sf_dir: str) -> Dataset:
     """Extract the integer 'k' field from the events props JSON column and
     aggregate per event type — the metadata-map scalar-function shape
-    (OcrRequest.metadata analog; SURVEY §2.8 json functions). Parsing is
-    per-row (JSON has no Arrow kernel) but the aggregate is combiner-first
-    so only (type, partial) rows shuffle."""
+    (OcrRequest.metadata analog; SURVEY §2.8 json functions). pyarrow has
+    no JSON kernel, but the planted props grammar '{"k": N}' is
+    regex-extractable, so the hot path is one RE2 pc.extract_regex pass
+    (VERDICT r4 item 7); rows the regex misses (arbitrary JSON) fall back
+    to per-row json.loads — zero rows on well-formed corpora. The
+    aggregate stays combiner-first so only (type, partial) rows shuffle."""
     import json as _json
 
     ds = _pq(sf_dir, "events", ["event_type", "props"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        ks = []
-        for p in batch["props"].to_pylist():
-            try:
-                v = _json.loads(p).get("k") if p else None
-            except (ValueError, TypeError):
-                v = None
-            ks.append(v if isinstance(v, int) else None)
-        t = pa.table({"event_type": batch["event_type"],
-                      "k": pa.array(ks, pa.int64())})
+        props = pc.fill_null(batch["props"], "")
+        ext = pc.extract_regex(props, pattern=r'^\{"k": (?P<k>-?\d+)\}$')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        miss = pc.and_(pc.is_null(k), pc.not_equal(props, ""))
+        if pc.sum(pc.cast(miss, pa.int64())).as_py():
+            kl = k.to_pylist()
+            pl = props.to_pylist()
+            for i in np.flatnonzero(
+                    miss.combine_chunks().to_numpy(zero_copy_only=False)):
+                try:
+                    v = _json.loads(pl[i])
+                    v = v.get("k") if isinstance(v, dict) else None
+                except (ValueError, TypeError):
+                    v = None
+                kl[int(i)] = v if isinstance(v, int) else None
+            k = pa.array(kl, pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "k": k})
         t = t.filter(pc.is_valid(t["k"]))
         g = pa.TableGroupBy(t, "event_type").aggregate(
             [("k", "sum"), ("k", "max"), ([], "count_all")])
