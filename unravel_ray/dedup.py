@@ -444,56 +444,6 @@ def _minhash_dedup_distributed(ds: Dataset, pairs_ds: Dataset,
     return joined.map_batches(fill, batch_format="pyarrow")
 
 
-def propagate_min_labels(edges: Dataset, n_rounds: int = 8) -> Dataset:
-    """Iterative min-label propagation for connected components.
-
-    edges(a, b) -> labels(node, label). Each round: emit (node, candidate
-    label) for both endpoints, grouped min. Converges in O(diameter)
-    rounds; near-dup clusters have tiny diameters so a handful suffices.
-
-    Honest scale note: between rounds the node->label map is pulled to the
-    driver and re-broadcast (Ray Data has no co-group join to keep it
-    distributed), so this holds O(nodes-in-edge-set) driver memory — fine
-    for per-shard dedup where the candidate node set is bounded, NOT a
-    fully unbounded-graph algorithm. It also re-executes `edges` each
-    round; pass a materialized dataset.
-    """
-    def expand(batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_pylist()
-        b = batch["b"].to_pylist()
-        la = batch["label_a"].to_pylist() if "label_a" in batch.column_names else a
-        lb = batch["label_b"].to_pylist() if "label_b" in batch.column_names else b
-        nodes = a + b
-        labels = [min(x, y) for x, y in zip(la, lb)] * 2
-        return pa.table({"node": pa.array(nodes, pa.int64()),
-                         "label": pa.array(labels, pa.int64())})
-
-    labels = edges.map_batches(expand, batch_format="pyarrow").groupby("node").aggregate(
-        Min("label", alias_name="label")
-    )
-    for _ in range(n_rounds - 1):
-        lab = {r["node"]: r["label"] for r in labels.take_all()}
-        ref = ray.put(lab)
-
-        def relabel(batch: pa.Table) -> pa.Table:
-            lookup = ray.get(ref)
-            a = batch["a"].to_pylist()
-            b = batch["b"].to_pylist()
-            return pa.table({
-                "a": batch["a"], "b": batch["b"],
-                "label_a": pa.array([lookup.get(x, x) for x in a], pa.int64()),
-                "label_b": pa.array([lookup.get(x, x) for x in b], pa.int64()),
-            })
-
-        labels = (
-            edges.map_batches(relabel, batch_format="pyarrow")
-            .map_batches(expand, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-        )
-    return labels
-
-
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------
@@ -964,7 +914,7 @@ def propagate_min_labels_distributed(edges: Dataset, n_rounds: int = 64) -> Data
     count + scalar sum per round — no extra shuffle.
 
     Pass a materialized ``edges`` dataset; labels stay distributed end to
-    end, unlike `propagate_min_labels`. Returns labels(node, label).
+    end. Returns labels(node, label).
     """
 
     def seed_labels(batch: pa.Table) -> pa.Table:
