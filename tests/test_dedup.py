@@ -115,6 +115,11 @@ def test_simhash_batch_matches_per_doc():
         "repeat repeat repeat repeat distinct",
         "UPPER Case MiXeD tokens",
         "single",
+        # non-ASCII whitespace: RE2 \s does NOT split on NBSP/VT (unlike
+        # Python str.split()) — the scalar reference must agree with the
+        # kernel AND the DuckDB oracle here (r5 review finding)
+        "hello\xa0world",
+        "vertical\x0btab and\x1cfs",
         BASE, NEAR, OTHER,
     ]
     got = simhash_batch(pa.array(texts, pa.string()))

@@ -68,6 +68,10 @@ def test_fingerprint_batch_matches_per_doc():
         "  spaced\t\tout\nwords  ",
         "dup dup dup dup dup dup dup dup dup dup",
         "UPPER case Mixed",
+        # non-ASCII whitespace: RE2 \s does not split NBSP/VT — scalar
+        # reference, kernel and oracle must all agree (r5 review finding)
+        "hello\xa0world again and more words to cross the window size yes",
+        "a\x0bb c d e f g h i j",
     ]
     got = fingerprint_batch(pa.array(texts, pa.string()))
     assert got == [fingerprint64(t or "") for t in texts]

@@ -52,6 +52,21 @@ def _md5(s: str) -> str:
     return hashlib.md5(s.encode("utf-8")).hexdigest()
 
 
+# Tokenization contract shared by the scalar reference functions, the
+# Arrow batch kernels (_flat_words: pc.split_pattern_regex(r"\s+")) and
+# the DuckDB oracles (string_split_regex('\s+')): RE2's \s is the ASCII
+# class [\t\n\f\r ] (NOT \x0b, NBSP, or other Unicode whitespace that
+# Python's str.split() also splits on — using str.split() here would make
+# the per-doc references silently diverge from the production kernels and
+# the oracles on non-ASCII whitespace; probed empirically, r5 review).
+_WS_RE = __import__("re").compile(r"[\t\n\f\r ]+")
+
+
+def _split_words(text: str) -> list[str]:
+    """lower + RE2-\s split + drop empties — the oracle tokenization."""
+    return [w for w in _WS_RE.split((text or "").lower()) if w]
+
+
 # ---------------------------------------------------------------------------
 # exact dedup (D1)
 # ---------------------------------------------------------------------------
@@ -105,7 +120,7 @@ def _shingle_hashes(text: str, width: int = 3) -> np.ndarray:
     hash = polynomial fold mod P31 over the sliding window — no
     per-shingle string building. Exact in int64 (products < 2^62).
     """
-    words = (text or "").lower().split()
+    words = _split_words(text)
     if not words:
         return np.empty(0, dtype=np.int64)
     wh = np.fromiter((_word_hash(w) for w in words), dtype=np.int64, count=len(words))
@@ -459,7 +474,7 @@ def simhash62(text: str) -> int:
     from the second; every occurrence of a word votes ±1 per bit.
     Exact int64 arithmetic, reproducible by the DuckDB oracle.
     """
-    words = (text or "").lower().split()
+    words = _split_words(text)
     if not words:
         return 0
     wh = np.fromiter(
@@ -628,7 +643,7 @@ def ngram_jaccard(text_a: str, text_b: str, width: int = 3) -> float:
 
 
 def _ngrams(text: str, width: int):
-    words = (text or "").lower().split()
+    words = _split_words(text)
     if len(words) < width:
         return [tuple(words)] if words else []
     return [words[i:i + width] for i in range(len(words) - width + 1)]

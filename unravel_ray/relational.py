@@ -1884,7 +1884,11 @@ def event_props_stats(sf_dir: str) -> Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         props = pc.fill_null(batch["props"], "")
-        ext = pc.extract_regex(props, pattern=r'^\{"k": (?P<k>-?\d+)\}$')
+        # integer grammar matches JSON exactly (no leading zeros): a
+        # '{"k": 007}' row must fall through to json.loads and be
+        # REJECTED like the oracle's TRY_CAST(json_extract(...)) does
+        ext = pc.extract_regex(props,
+                               pattern=r'^\{"k": (?P<k>-?(?:0|[1-9]\d*))\}$')
         k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
         miss = pc.and_(pc.is_null(k), pc.not_equal(props, ""))
         if pc.sum(pc.cast(miss, pa.int64())).as_py():

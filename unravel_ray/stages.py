@@ -183,7 +183,11 @@ def explode_extract(batch: pa.Table) -> pa.Table:
         # global_order[lo:hi] is doc i's span indices in (offset,
         # input-position) order — identical to sorted(range(lo,hi),
         # key=fo.__getitem__) (np.lexsort is a sequence of stable sorts)
-        fo_np = flat.field("offset").to_numpy(zero_copy_only=False)
+        off_arr = flat.field("offset")
+        if off_arr.null_count:  # fail fast: a null offset would NaN-sort
+            # silently last where the old per-doc sorted() raised loudly
+            raise ValueError("explode_extract: spans contain null offsets")
+        fo_np = off_arr.to_numpy(zero_copy_only=False)
         parent_np = np.repeat(np.arange(n, dtype=np.int64),
                               np.asarray(lengths, dtype=np.int64))
         global_order = np.lexsort((fo_np, parent_np)).tolist()

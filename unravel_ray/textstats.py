@@ -174,9 +174,9 @@ def fingerprint64(text: str, window: int = 8) -> str:
     outside the minimal window. Word and window hashes are polynomial
     folds mod P31 (exact int64 — see dedup.P31), so the DuckDB oracle
     reproduces the value verbatim."""
-    from .dedup import P31, _POLY31, _word_hash
+    from .dedup import P31, _POLY31, _split_words, _word_hash
 
-    words = (text or "").lower().split()
+    words = _split_words(text)
     if not words:
         return "0" * 16
     hashes = np.fromiter((_word_hash(w) for w in words),
