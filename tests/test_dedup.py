@@ -264,6 +264,42 @@ def test_distributed_components_long_chain_converges(ray_session):
         propagate_min_labels_distributed(ds, n_rounds=4).take_all()
 
 
+def test_distributed_components_random_graph_matches_union_find(ray_session):
+    """Randomized differential: Erdős–Rényi-ish edge sets (mixed cluster
+    sizes, self-loop-free, duplicate edges allowed) must produce the
+    exact union-find labelling under the convergence loop."""
+    from unravel_ray.dedup import propagate_min_labels_distributed
+
+    # seed 2: 58 nodes / 69 edges / 4 components, converges in 7
+    # propagation rounds — deep-diameter coverage lives in the chain
+    # test above; this one exercises mixed component shapes cheaply.
+    rng = np.random.RandomState(2)
+    a = rng.randint(0, 80, 70)
+    b = rng.randint(0, 80, 70)
+    mask = a != b
+    edges = list(zip(a[mask].tolist(), b[mask].tolist()))
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in edges:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = {x: find(x) for x in parent}
+
+    ds = ray.data.from_items(
+        [{"a": x, "b": y} for x, y in edges]).materialize()
+    got = {r["node"]: r["label"]
+           for r in propagate_min_labels_distributed(ds).take_all()}
+    assert got == want
+
+
 def test_embedding_neardup_bucketed_matches_broadcast(ray_session):
     """High-threshold regime: the LSH-banded path must find the same pairs
     the exact broadcast path finds on clustered vectors."""
