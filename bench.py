@@ -51,22 +51,36 @@ def _consume(result) -> int:
     return len(result)
 
 
+_PROBE_SRC = """
+import time, numpy as np
+a = np.random.rand(2000, 2000)
+best = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter(); a @ a
+    best = min(best, time.perf_counter() - t0)
+print(round(best, 3))
+"""
+
+
 def _host_probe() -> float:
     """Engine-independent memory-bandwidth weather probe: best-of-3
-    2000x2000 matmul seconds. ~0.15-0.3 s on healthy hardware; >0.5 s
-    means a degraded co-tenant window where ALL wall times inflate
-    (BASELINE.md §D3) — interpret absolute numbers accordingly."""
-    import time as _t
-
-    import numpy as _np
-
-    a = _np.random.rand(2000, 2000)
-    best = float("inf")
-    for _ in range(3):
-        t0 = _t.perf_counter()
-        a @ a
-        best = min(best, _t.perf_counter() - t0)
-    return round(best, 3)
+    2000x2000 matmul seconds at a PINNED 8 BLAS threads. ~0.15-0.3 s on
+    healthy hardware; >0.5 s means a degraded co-tenant window where ALL
+    wall times inflate (BASELINE.md §D3) — interpret absolute numbers
+    accordingly. Pinning matters: the harness environment sets
+    OMP_NUM_THREADS=1, under which the same matmul reads ~1.2 s on a
+    perfectly quiet host (this skewed the r3/r4 recorded probes); running
+    in a subprocess with the thread count forced makes the number measure
+    host contention, not inherited env."""
+    env = dict(os.environ, OMP_NUM_THREADS="8", OPENBLAS_NUM_THREADS="8",
+               MKL_NUM_THREADS="8")
+    try:
+        out = subprocess.run([sys.executable, "-c", _PROBE_SRC], env=env,
+                             capture_output=True, text=True, timeout=120,
+                             check=True)
+        return float(out.stdout.strip())
+    except Exception:
+        return -1.0  # probe unavailable; absolute times uninterpretable
 
 
 def run_bench() -> dict:
