@@ -26,18 +26,16 @@ def _best(fn, arg, n=5):
 
 
 def main() -> None:
-    import numpy as np
-
     from unravel_ray.stages import explode_extract, finalize_block, ocr_task
     from unravel_ray.synth import make_corpus_range
 
-    # host-weather probe alongside, so a recorded number is interpretable
-    a = np.random.default_rng(0).random((2000, 2000))
-    probe = 9e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        a @ a
-        probe = min(probe, time.perf_counter() - t0)
+    # host-weather probe alongside, so a recorded number is interpretable;
+    # shared with bench.py (pinned BLAS threads — the harness env sets
+    # OMP_NUM_THREADS=1, under which an in-process probe reads ~1.2 s on a
+    # quiet host)
+    from bench import _host_probe
+
+    probe = _host_probe()
 
     blk = make_corpus_range(0, 1500)
     explode_extract(blk)  # warm imports/regex caches untimed
@@ -52,7 +50,7 @@ def main() -> None:
         "total_sec": round(t_explode + t_ocr + t_fin, 4),
         "workunits": wu.num_rows,
         "docs_out": done.num_rows,
-        "host_probe_matmul_sec": round(probe, 3),
+        "host_probe_matmul_sec": probe,
     }))
 
 
