@@ -722,7 +722,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_to_budget": _sample_to_budget,
         "inverted_index": _inverted_index,
         "tfidf_rank": _tfidf_rank,
-        "dataset_splits": _dataset_splits,
+        # rotated IN late in round 5 (fixed-block rewrite; swapped with
+        # dataset_splits, r4-certified and unchanged since)
+        "event_hourly_windows": R.event_hourly_windows,
         "bloom_semijoin": _bloom_semijoin,
         # P31 universal-hash family: signatures/buckets reproduced verbatim
         # by DuckDB (see _minhash_base_cte and friends) — no_oracle in r2,
@@ -750,7 +752,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- past the window: every entry below is driver-green in a
         # prior round with code unchanged since its certification
         # (audio_features / frame_sample / export_docx / table_stats /
-        # lsh_topk / ivf_topk / ivf_index_topk / jaccard_pairs are this
+        # lsh_topk / ivf_topk / ivf_index_topk / jaccard_pairs /
+        # dataset_splits are this
         # round's sacrifices, all certified green in CORRECTNESS_r04;
         # search_highlights / vocab_top_words / image_resize /
         # image_decode in CORRECTNESS_r03) — and the full 80-entry sweep
@@ -767,7 +770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_highlights": R.search_highlights,
         "vocab_top_words": _vocab_top_words,
         "image_resize": _image_resize,
-        "event_hourly_windows": R.event_hourly_windows,
+        "dataset_splits": _dataset_splits,
         "source_stats": R.source_stats,
         "lineitem_pricing": R.lineitem_pricing,
         "user_event_totals": R.user_event_totals,
