@@ -704,8 +704,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _dedup_exact,
         "storage_reconcile": _storage_reconcile,
         # ---- training-data + search ops new or upgraded this round ----
-        "search_fuzzy": R.search_fuzzy,
-        "lang_distribution": _lang_distribution,
+        # rotated IN late in round 5 (combiner-first / fixed-block
+        # aggregate rewrites; swapped with search_fuzzy and
+        # lang_distribution, both r4-certified and unchanged since)
+        "lineitem_pricing": R.lineitem_pricing,
+        "user_event_totals": R.user_event_totals,
         "quality_scores": _quality_scores,
         "token_stats": _token_stats,
         "pii_scrub_stats": R.pii_scrub_stats,
@@ -753,7 +756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prior round with code unchanged since its certification
         # (audio_features / frame_sample / export_docx / table_stats /
         # lsh_topk / ivf_topk / ivf_index_topk / jaccard_pairs /
-        # dataset_splits are this
+        # dataset_splits / search_fuzzy / lang_distribution are this
         # round's sacrifices, all certified green in CORRECTNESS_r04;
         # search_highlights / vocab_top_words / image_resize /
         # image_decode in CORRECTNESS_r03) — and the full 80-entry sweep
@@ -772,8 +775,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": _image_resize,
         "dataset_splits": _dataset_splits,
         "source_stats": R.source_stats,
-        "lineitem_pricing": R.lineitem_pricing,
-        "user_event_totals": R.user_event_totals,
+        "search_fuzzy": R.search_fuzzy,
+        "lang_distribution": _lang_distribution,
         "top_documents": R.top_documents,
         "documents_filtered": R.documents_filtered,
         "document_previews": R.document_previews,

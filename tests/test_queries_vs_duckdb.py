@@ -111,7 +111,10 @@ def test_priority_window_contains_new_and_core_queries():
     first 50; only entries driver-green on unchanged code may fall past
     the window (round-5 sacrifices: audio_features, frame_sample,
     export_docx, table_stats, lsh_topk, ivf_topk, ivf_index_topk,
-    jaccard_pairs — all green in CORRECTNESS_r04)."""
+    jaccard_pairs, dataset_splits, search_fuzzy, lang_distribution — all
+    green in CORRECTNESS_r04; the last three were swapped out late in
+    round 5 for the rewritten event_hourly_windows, lineitem_pricing and
+    user_event_totals)."""
     import __ray_entry__ as e
 
     names = list(e.queries())
@@ -128,6 +131,8 @@ def test_priority_window_contains_new_and_core_queries():
         "fingerprints", "heavy_hitter_words", "storage_reconcile",
         "user_sliding_window", "user_running_totals", "event_props_stats",
         "orders_customer_join", "extract_then_neardup",
+        # late-r5 combiner-first / fixed-block aggregate rewrites
+        "event_hourly_windows", "lineitem_pricing", "user_event_totals",
         # r4-rewritten kernels whose last driver rows predate that code
         # (VERDICT r4 item 4)
         "event_sessions", "first_event_per_user",
@@ -137,7 +142,7 @@ def test_priority_window_contains_new_and_core_queries():
         "gopher_quality", "decontaminate", "dup_passages",
         "domain_mixture", "pack_sequences", "curate_corpus",
         "sample_to_budget", "size_quantile_sketch",
-        "dataset_splits", "bloom_semijoin", "distinct_users_hll",
+        "bloom_semijoin", "distinct_users_hll",
         "inverted_index", "tfidf_rank",
     }
     missing = must_be_inside - window

@@ -65,8 +65,12 @@ def source_stats(sf_dir: str) -> Dataset:
 def lineitem_pricing(sf_dir: str) -> Dataset:
     """Grouped pricing summary with exact integer cents.
 
-    Demonstrates partial aggregation before the shuffle: per-batch the rows
-    are reduced to int64 cents; the groupby moves only small partials.
+    Partial aggregation genuinely happens BEFORE the exchange: each block
+    collapses to at most one row per (returnflag, linestatus) via an
+    Arrow group_by — ~6 rows per block instead of one per lineitem — so
+    the Ray groupby sorts a few hundred partial rows, not the table.
+    (The pre-fix version only slimmed columns; the exchange still moved
+    every row: 3.2-6.6 s -> 2.2-2.5 s same-window A/B at sf0.1/32 CPUs.)
     """
     ds = _pq(
         sf_dir, "lineitem",
@@ -80,7 +84,7 @@ def lineitem_pricing(sf_dir: str) -> Dataset:
         disc_bp = pc.cast(pc.round(pc.multiply(batch["l_discount"], pa.scalar(100.0)), **rm), pa.int64())
         # disc_price_cents = price_cents * (100 - disc_basis_points) — exact ints
         disc_price_c = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_bp))
-        return pa.table(
+        t = pa.table(
             {
                 "l_returnflag": batch["l_returnflag"],
                 "l_linestatus": batch["l_linestatus"],
@@ -89,15 +93,22 @@ def lineitem_pricing(sf_dir: str) -> Dataset:
                 "disc_price_c100": disc_price_c,
             }
         )
+        g = pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price_cents", "sum"),
+             ("disc_price_c100", "sum"), ([], "count_all")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty", "price_cents",
+             "disc_price_c100", "n"])
 
     agg = (
-        ds.map_batches(derive, batch_format="pyarrow")
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("qty", alias_name="sum_qty"),
             Sum("price_cents", alias_name="sum_base_cents"),
             Sum("disc_price_c100", alias_name="sum_disc_cents100"),
-            Count(alias_name="n_rows"),
+            Sum("n", alias_name="n_rows"),
         )
     )
 
@@ -116,13 +127,16 @@ def lineitem_pricing(sf_dir: str) -> Dataset:
 # G4 — per-user accounting (events)
 # ---------------------------------------------------------------------------
 
-def user_event_totals(sf_dir: str) -> Dataset:
+def user_event_totals(sf_dir: str, n_blocks: int = 64) -> Dataset:
     """Per-user event count + value cents (G4 storage accounting analog,
     DocumentUploadImpl.java:150-161).
 
-    Combiner-first: each batch partial-aggregates with a vectorized
-    pyarrow TableGroupBy, so the shuffle moves one row per (user, batch)
-    instead of one per event."""
+    Combiner-first: each block partial-aggregates with a vectorized
+    pyarrow TableGroupBy, so the shuffle moves one row per (user, block)
+    instead of one per event. The merge uses the window family's fixed
+    hash(user) % n_blocks exchange (one small int sort key, one Arrow
+    group_by per block) rather than a Ray range-sort on user_id —
+    2.8-3.3 s -> 2.0-2.1 s same-window A/B at sf0.1/32 CPUs."""
     ds = _pq(sf_dir, "events", ["user_id", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -132,13 +146,22 @@ def user_event_totals(sf_dir: str) -> Dataset:
         g = pa.TableGroupBy(b.select(["user_id", "value_cents"]), "user_id").aggregate(
             [("value_cents", "sum"), ([], "count_all")]
         )
-        return g.rename_columns(["user_id", "value_cents", "n"])
+        g = g.rename_columns(["user_id", "value_cents", "n"])
+        return g.append_column("__blk", _blk_int(g["user_id"], n_blocks))
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("user_id")
-        .aggregate(Sum("n", alias_name="n_events"), Sum("value_cents", alias_name="value_cents"))
-    )
+    def fold(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["__blk"])
+        g = pa.TableGroupBy(t, "user_id").aggregate(
+            [("n", "sum"), ("value_cents", "sum")]
+        )
+        return pa.table({
+            "user_id": g["user_id"],
+            "n_events": pc.cast(g["n_sum"], pa.int64()),
+            "value_cents": pc.cast(g["value_cents_sum"], pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby("__blk").map_groups(fold, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
