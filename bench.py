@@ -130,18 +130,37 @@ def run_bench() -> dict:
                     PipelineConfig(), warm_dir)
     shutil.rmtree(warm_dir, ignore_errors=True)
 
+    from unravel_ray.pipeline import flagship_publish_dir
+
+    def _clear_flagship_cache():
+        # the keyed publish cache survives across processes under /tmp;
+        # without this, a prior bench/test run makes "flagship_extract"
+        # silently measure a warm readback instead of the cold publish it
+        # claims to be
+        shutil.rmtree(flagship_publish_dir(sf_dir, PipelineConfig()),
+                      ignore_errors=True)
+
     timings: dict[str, float] = {}
     n_docs = 0
     only_synth = bool(os.environ.get("GRAFT_ONLY_SYNTH"))
     for name, fn in ({} if only_synth else _headline_queries()).items():
+        if name == "flagship_extract":
+            _clear_flagship_cache()
         t0 = time.perf_counter()
         n = _consume(fn(sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
         if name == "flagship_extract":
-            # single COLD run by design: the first call IS the durable
-            # publish; a repeat would hit the keyed publish cache and
-            # measure readback instead of extraction
+            # COLD publish by design: the timed call IS the durable
+            # write-audit-publish. min-of-2 like every other query, but
+            # clearing the keyed cache between runs so BOTH are true cold
+            # publishes; the second run leaves the committed extraction
+            # in place for the downstream flagship-derived queries.
             n_docs = n
+            _clear_flagship_cache()
+            t0 = time.perf_counter()
+            _consume(fn(sf_dir))
+            timings[name] = min(timings[name],
+                                round(time.perf_counter() - t0, 3))
         else:
             # min-of-2 de-noises the co-tenant window swings documented
             # in BASELINE.md §D3 without changing any metric's semantics
