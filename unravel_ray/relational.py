@@ -1304,6 +1304,14 @@ def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
     before calling. Right-side columns colliding with left names get
     ``right_suffix``.
 
+    Evaluated against Ray 2.49's native ``Dataset.join`` (hash-shuffle
+    aggregator actors) on the bench join (150k x 15k at 32 CPUs): the
+    native operator ran 1.3-2x SLOWER (6.3-7.5 s vs 3.7-5.8 s same
+    window) — its per-partition aggregator actor pool costs more than
+    this operator's single small-int sort exchange at these scales, and
+    it offers no skew salting. Re-evaluate if Ray's hash shuffle
+    matures.
+
     Skew: pass ``hot_keys`` (any iterable of key values — e.g. from
     ``detect_hot_keys`` or table_stats frequency estimates) to SALT them:
     probe-side (left) rows of a hot key are sprayed across ``n_salts``
