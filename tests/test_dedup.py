@@ -120,6 +120,11 @@ def test_simhash_batch_matches_per_doc():
         # kernel AND the DuckDB oracle here (r5 review finding)
         "hello\xa0world",
         "vertical\x0btab and\x1cfs",
+        # full-casefold codepoints: Python str.lower('İ') = 'i'+U+0307
+        # but Arrow utf8_lower == DuckDB lower == plain 'i' — the scalar
+        # reference must use the SAME simple mapping as the kernel and
+        # the oracle (r5 review finding)
+        "İstanbul İ DOĞU words",
         BASE, NEAR, OTHER,
     ]
     got = simhash_batch(pa.array(texts, pa.string()))

@@ -207,3 +207,43 @@ def test_actor_pool_ocr_matches_task_mode(ray_session, corpus, pipeline_out):
         assert a["spans"] == b["spans"], doc_id
         assert a["status"] == b["status"], doc_id
         assert a["provider"] == b["provider"], doc_id
+
+
+def test_explode_rejected_doc_with_null_offset_does_not_poison_batch():
+    """Partial-success contract (r5 review): a null span offset is fatal
+    only for docs that PASS validation — the old per-doc sorted() raised
+    on None only when span order was actually consulted. A rejected doc
+    (bad mime) whose spans carry a null offset must still produce its
+    single failed_validation placeholder while the REST OF THE BATCH
+    explodes normally; a validated doc with a null offset must raise."""
+    import pyarrow as pa
+    import pytest
+
+    from unravel_ray.schema import DOCS_SCHEMA
+    from unravel_ray.stages import explode_extract
+
+    good = {
+        "doc_id": "good-1", "collection_id": "c", "mime_type": "text/html",
+        "file_size": 10, "lang": "eng", "start_page": None, "end_page": None,
+        "pages": None, "storage_error": None, "metadata": None,
+        "spans": [{"kind": "html", "text": "<p>ok fine</p>",
+                   "media_ref": None, "offset": 0}],
+    }
+    bad_mime = dict(good, doc_id="bad-1", mime_type="application/x-evil",
+                    spans=[{"kind": "html", "text": "<p>x</p>",
+                            "media_ref": None, "offset": None}])
+    units = explode_extract(
+        pa.Table.from_pylist([bad_mime, good], schema=DOCS_SCHEMA))
+    rows = units.to_pylist()
+    bad_rows = [r for r in rows if r["doc_id"] == "bad-1"]
+    good_rows = [r for r in rows if r["doc_id"] == "good-1"]
+    assert len(bad_rows) == 1
+    assert bad_rows[0]["doc_status"] == "failed_validation"
+    assert good_rows and all(r["doc_status"] == "ok" for r in good_rows)
+
+    validated_bad = dict(good, doc_id="vbad-1",
+                         spans=[{"kind": "html", "text": "<p>x</p>",
+                                 "media_ref": None, "offset": None}])
+    with pytest.raises(ValueError, match="null offsets"):
+        explode_extract(
+            pa.Table.from_pylist([validated_bad, good], schema=DOCS_SCHEMA))

@@ -72,6 +72,11 @@ def test_fingerprint_batch_matches_per_doc():
         # reference, kernel and oracle must all agree (r5 review finding)
         "hello\xa0world again and more words to cross the window size yes",
         "a\x0bb c d e f g h i j",
+        # full-casefold codepoint: str.lower('İ') adds U+0307 but Arrow
+        # utf8_lower == DuckDB lower == 'i'; scalar reference, kernel and
+        # oracle must share the simple mapping (r5 review finding)
+        "İ tane büyük İSTANBUL harfi over the window "
+        "size boundary now",
     ]
     got = fingerprint_batch(pa.array(texts, pa.string()))
     assert got == [fingerprint64(t or "") for t in texts]

@@ -24,6 +24,7 @@ Scale design:
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -59,12 +60,24 @@ def _md5(s: str) -> str:
 # Python's str.split() also splits on — using str.split() here would make
 # the per-doc references silently diverge from the production kernels and
 # the oracles on non-ASCII whitespace; probed empirically, r5 review).
-_WS_RE = __import__("re").compile(r"[\t\n\f\r ]+")
+# Case folding must match too: Arrow's utf8_lower and DuckDB's lower()
+# both apply the simple Unicode lowercase mapping (U+0130 'İ' -> 'i'),
+# while Python str.lower() applies the full mapping ('İ' -> 'i'+U+0307)
+# — so the scalar path lowers through the SAME Arrow kernel the batch
+# kernels use, never str.lower().
+_WS_RE = re.compile(r"[\t\n\f\r ]+")
 
 
 def _split_words(text: str) -> list[str]:
-    """lower + RE2-\s split + drop empties — the oracle tokenization."""
-    return [w for w in _WS_RE.split((text or "").lower()) if w]
+    """utf8_lower + RE2-``\\s`` split + drop empties — the oracle
+    tokenization (shared verbatim with `_flat_words` and the DuckDB
+    oracles; see the contract note above)."""
+    t = text or ""
+    if t.isascii():  # ASCII lower == simple-mapping lower; skip the
+        lowered = t.lower()  # Arrow round trip in the per-doc hot path
+    else:
+        lowered = pc.utf8_lower(pa.scalar(t, pa.string())).as_py()
+    return [w for w in _WS_RE.split(lowered) if w]
 
 
 # ---------------------------------------------------------------------------
@@ -497,23 +510,19 @@ def simhash_batch(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
     passes of sign-vote-per-document via ``np.add.reduceat`` over the
     sorted parent segments. Zero per-doc Python. Rows with no words get
     simhash 0 (simhash62's convention)."""
-    from .textstats import _flat_words
+    from .textstats import _flat_word_codes
 
     n_rows = len(texts)
     h = np.zeros(n_rows, dtype=np.int64)
-    _, flat, parent = _flat_words(texts)
-    if len(flat) == 0:
+    enc = _flat_word_codes(texts)
+    if enc is None:
         return h
-    denc = flat.dictionary_encode()
-    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    uniq = denc.dictionary.to_pylist()
+    codes, uniq, seg_starts, seg_docs = enc
     u1 = np.fromiter((_word_hash(w) for w in uniq),
                      dtype=np.int64, count=len(uniq))
     u2 = np.fromiter((_word_hash(w, _CHAR_B2) for w in uniq),
                      dtype=np.int64, count=len(uniq))
     wh = u1[codes] + (u2[codes] << 31)  # h1 + h2·2^31 per occurrence
-    seg_starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
-    seg_docs = parent[seg_starts]
     hseg = np.zeros(seg_starts.size, dtype=np.int64)
     for j in range(SIMHASH_BITS):
         pm = ((wh >> j) & 1) * 2 - 1          # ±1 vote per occurrence

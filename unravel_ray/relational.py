@@ -127,6 +127,20 @@ def lineitem_pricing(sf_dir: str) -> Dataset:
 # G4 — per-user accounting (events)
 # ---------------------------------------------------------------------------
 
+def _keyed_sum_fold(group: pa.Table, keys: list[str], sums: list[str],
+                    out_names: list[str]) -> pa.Table:
+    """Shared merge step of the fixed hash-block aggregate family
+    (user_event_totals, event_hourly_windows): drop the block key, one
+    Arrow group_by summing ``sums``, emit keys then int64 sums renamed to
+    ``out_names`` — factored so the two folds cannot drift (r5 review)."""
+    t = group.drop_columns(["__blk"])
+    g = pa.TableGroupBy(t, keys).aggregate([(c, "sum") for c in sums])
+    cols = {k: g[k] for k in keys}
+    for c, name in zip(sums, out_names):
+        cols[name] = pc.cast(g[f"{c}_sum"], pa.int64())
+    return pa.table(cols)
+
+
 def user_event_totals(sf_dir: str, n_blocks: int = 64) -> Dataset:
     """Per-user event count + value cents (G4 storage accounting analog,
     DocumentUploadImpl.java:150-161).
@@ -150,15 +164,8 @@ def user_event_totals(sf_dir: str, n_blocks: int = 64) -> Dataset:
         return g.append_column("__blk", _blk_int(g["user_id"], n_blocks))
 
     def fold(group: pa.Table) -> pa.Table:
-        t = group.drop_columns(["__blk"])
-        g = pa.TableGroupBy(t, "user_id").aggregate(
-            [("n", "sum"), ("value_cents", "sum")]
-        )
-        return pa.table({
-            "user_id": g["user_id"],
-            "n_events": pc.cast(g["n_sum"], pa.int64()),
-            "value_cents": pc.cast(g["value_cents_sum"], pa.int64()),
-        })
+        return _keyed_sum_fold(group, ["user_id"], ["n", "value_cents"],
+                               ["n_events", "value_cents"])
 
     return (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
             .groupby("__blk").map_groups(fold, batch_format="pyarrow"))
@@ -333,7 +340,10 @@ def search_highlights(sf_dir: str, query: str = "hash merge src3",
     ids = top["doc_id"].to_pylist()
     texts = top["text"].to_pylist()
     for did, text in zip(ids, texts):
-        low = (text or "").lower()
+        # simple-mapping lower (Arrow kernel == DuckDB lower()), NOT
+        # str.lower(): full case folding would shift find() offsets on
+        # codepoints like U+0130 (see the contract note in dedup.py)
+        low = pc.utf8_lower(pa.scalar(text or "", pa.string())).as_py()
         for tok in tokens:
             p = low.find(tok)
             if p < 0:
@@ -839,18 +849,12 @@ def event_hourly_windows(sf_dir: str, n_blocks: int = 64) -> Dataset:
         return g.append_column("__blk", _blk_int(g["user_id"], n_blocks))
 
     def fold(group: pa.Table) -> pa.Table:
-        t = group.drop_columns(["__blk"])
-        g = pa.TableGroupBy(t, ["user_id", "window_start"]).aggregate(
-            [("n", "sum"), ("value_cents", "sum")]
-        )
-        return pa.table({
-            "user_id": g["user_id"],
-            "window_start": g["window_start"],
-            "n_events": pc.cast(g["n_sum"], pa.int64()),
-            "value_cents": pc.cast(g["value_cents_sum"], pa.int64()),
-        })
+        return _keyed_sum_fold(group, ["user_id", "window_start"],
+                               ["n", "value_cents"],
+                               ["n_events", "value_cents"])
 
-    return (ds.map_batches(windowize_partial, batch_format="pyarrow")
+    return (ds.map_batches(windowize_partial, batch_format="pyarrow",
+                           batch_size=None)  # whole-block partials
             .groupby("__blk").map_groups(fold, batch_format="pyarrow"))
 
 

@@ -184,17 +184,24 @@ def explode_extract(batch: pa.Table) -> pa.Table:
         # input-position) order — identical to sorted(range(lo,hi),
         # key=fo.__getitem__) (np.lexsort is a sequence of stable sorts)
         off_arr = flat.field("offset")
-        if off_arr.null_count:  # fail fast: a null offset would NaN-sort
-            # silently last where the old per-doc sorted() raised loudly
-            raise ValueError("explode_extract: spans contain null offsets")
-        fo_np = off_arr.to_numpy(zero_copy_only=False)
         parent_np = np.repeat(np.arange(n, dtype=np.int64),
                               np.asarray(lengths, dtype=np.int64))
+        null_docs: set[int] = set()
+        if off_arr.null_count:
+            # A null offset is fatal ONLY for docs that pass validation
+            # (the old per-doc sorted() raised on None the same way);
+            # rejected docs never consult span order, so a malformed
+            # rejected doc must not poison the rest of the batch — its
+            # NaN sorts last within its own parent segment, harmlessly.
+            null_mask = pc.is_null(off_arr).to_numpy(zero_copy_only=False)
+            null_docs = set(parent_np[null_mask].tolist())
+        fo_np = off_arr.to_numpy(zero_copy_only=False)
         global_order = np.lexsort((fo_np, parent_np)).tolist()
     else:
         lengths = [0] * n
         fk = ft = fm = fo = []
         global_order = []
+        null_docs = set()
 
     out = _ExplodeBuilder()
     lo = 0
@@ -207,7 +214,8 @@ def explode_extract(batch: pa.Table) -> pa.Table:
         else:
             _explode_doc(out, n_before, mimes[i], sizes[i], sps[i], eps[i],
                          pgs[i], fk, ft, fm, fo, lo, hi, storage_errs[i],
-                         global_order[lo:hi])
+                         global_order[lo:hi],
+                         has_null_offset=(i in null_docs))
         lo = hi
     return out.table(batch)
 
@@ -215,7 +223,8 @@ def explode_extract(batch: pa.Table) -> pa.Table:
 def _explode_doc(out: _ExplodeBuilder, n_before: int, mime, size,
                  start_page, end_page, pages,
                  fk, ft, fm, fo, lo: int, hi: int,
-                 storage_error=None, order=None) -> None:
+                 storage_error=None, order=None,
+                 has_null_offset: bool = False) -> None:
     """Explode one doc whose spans live at flat indices [lo, hi);
     ``order`` is the doc's slice of the batch-global (offset, position)
     lexsort (recomputed here only when called standalone)."""
@@ -234,6 +243,9 @@ def _explode_doc(out: _ExplodeBuilder, n_before: int, mime, size,
         out.end_doc(n_before, doc_status="failed_storage",
                     error_message=storage_error)
         return
+    if has_null_offset:  # fail fast: span order is about to be consulted
+        raise ValueError(
+            "explode_extract: validated doc has spans with null offsets")
 
     if order is None:
         order = sorted(range(lo, hi), key=fo.__getitem__)

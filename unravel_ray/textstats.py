@@ -209,16 +209,12 @@ def fingerprint_batch(texts: pa.Array | pa.ChunkedArray,
 
     n_rows = len(texts)
     out = np.zeros(n_rows, dtype=np.int64)
-    _, flat, parent = _flat_words(texts)
-    if len(flat):
-        denc = flat.dictionary_encode()
-        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq = denc.dictionary.to_pylist()
+    enc = _flat_word_codes(texts)
+    if enc is not None:
+        codes, uniq, seg_starts, seg_docs = enc
         uh = np.fromiter((_word_hash(w) for w in uniq),
                          dtype=np.int64, count=len(uniq))
         wh = uh[codes]
-        seg_starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
-        seg_docs = parent[seg_starts]
         seg_lens = np.diff(np.r_[seg_starts, wh.size])
         combined = np.minimum.reduceat(wh, seg_starts)  # <= window docs
         big = seg_lens > window
@@ -542,6 +538,24 @@ def _flat_words(text: pa.ChunkedArray | pa.Array):
     if isinstance(parent, pa.ChunkedArray):
         parent = parent.combine_chunks()
     return low, flat, parent.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _flat_word_codes(texts: pa.Array | pa.ChunkedArray):
+    """Shared prologue of the batch signature kernels (simhash_batch,
+    fingerprint_batch): one `_flat_words` pass, dictionary encode so each
+    DISTINCT word is hashed once downstream, and the sorted parent-segment
+    boundaries. Returns (codes, uniq_words, seg_starts, seg_docs), or
+    None when the batch has no words. Factored so the tokenization /
+    segmentation contract lives in exactly one place (r5 review)."""
+    _, flat, parent = _flat_words(texts)
+    if len(flat) == 0:
+        return None
+    denc = flat.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = denc.dictionary.to_pylist()
+    seg_starts = np.flatnonzero(np.r_[True, parent[1:] != parent[:-1]])
+    seg_docs = parent[seg_starts]
+    return codes, uniq, seg_starts, seg_docs
 
 
 def _ngrams(flat: pa.Array, parent: np.ndarray, n: int):
