@@ -699,8 +699,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validation_accounting": R.validation_accounting,
         "collection_rollup": R.collection_rollup,
         "docs_with_ocr_status": R.docs_with_ocr_status,
-        "word_counts_by_lang": R.word_counts_by_lang,
-        "search_content": R.search_content,
+        # rotated IN after the post-review fixes (oracle-aligned case
+        # folding touched the jaccard scalar path; search_highlights'
+        # snippet lowering changed) — swapped with word_counts_by_lang
+        # and search_content, both r4-certified and unchanged since
+        "jaccard_pairs": _jaccard_pairs,
+        "search_highlights": R.search_highlights,
         "dedup_exact": _dedup_exact,
         "storage_reconcile": _storage_reconcile,
         # ---- training-data + search ops new or upgraded this round ----
@@ -755,22 +759,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- past the window: every entry below is driver-green in a
         # prior round with code unchanged since its certification
         # (audio_features / frame_sample / export_docx / table_stats /
-        # lsh_topk / ivf_topk / ivf_index_topk / jaccard_pairs /
-        # dataset_splits / search_fuzzy / lang_distribution are this
-        # round's sacrifices, all certified green in CORRECTNESS_r04;
-        # search_highlights / vocab_top_words / image_resize /
+        # lsh_topk / ivf_topk / ivf_index_topk / word_counts_by_lang /
+        # search_content / dataset_splits / search_fuzzy /
+        # lang_distribution are this round's sacrifices, all certified
+        # green in CORRECTNESS_r04; vocab_top_words / image_resize /
         # image_decode in CORRECTNESS_r03) — and the full 80-entry sweep
         # still re-verifies values at sf0.001 on every pytest run ----
         "lsh_topk": _lsh_topk,
         "audio_features": _audio_features,
         "export_docx": _export_docx,
-        "jaccard_pairs": _jaccard_pairs,
+        "word_counts_by_lang": R.word_counts_by_lang,
         "ivf_topk": _ivf_topk,
         "ivf_index_topk": _ivf_index_topk,
         "table_stats": _table_stats,
         "frame_sample": _frame_sample,
         "image_decode": _image_decode,
-        "search_highlights": R.search_highlights,
+        "search_content": R.search_content,
         "vocab_top_words": _vocab_top_words,
         "image_resize": _image_resize,
         "dataset_splits": _dataset_splits,
