@@ -795,6 +795,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": R.top_docs_per_lang,
         "event_type_counts": R.event_type_counts,
         "collection_size_gate": R.collection_size_gate,
+        # late-r5 addition (past the window; sweep-verified): full outer
+        # join mode — both sides filtered so each carries unmatched rows
+        "orders_customer_full_join": R.orders_customer_full_join,
     }
 
 
@@ -1941,6 +1944,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
                    c_mktsegment
             FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        """,
+        "orders_customer_full_join": """
+            SELECT o.o_orderkey,
+                   COALESCE(o.o_custkey, c.c_custkey) AS custkey,
+                   CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price_cents,
+                   c.c_mktsegment
+            FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+            FULL OUTER JOIN (SELECT c_custkey, c_mktsegment FROM customer
+                             WHERE c_mktsegment = 'BUILDING') c
+              ON o.o_custkey = c.c_custkey
         """,
         "sample_documents": """
             SELECT doc_id, source, n_chars FROM documents

@@ -141,6 +141,52 @@ def test_hash_join_semantics(ray_session):
     assert not any(r[0] == 9 for r in lj)  # right-only keys never appear
 
 
+def test_hash_join_full_right_outer(ray_session):
+    """right/full outer compose per-bucket: a key value hashes to exactly
+    one bucket on both sides, so bucket-local unmatched rows are globally
+    unmatched, and null keys never match (SQL semantics) — they surface
+    unmatched from whatever bucket their placement hash chose.
+    Differential vs DuckDB on randomized duplicate-key + null-key
+    tables."""
+    import duckdb
+    import numpy as np
+    import pytest
+
+    from unravel_ray.relational import hash_join
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 700, 400
+
+    def keys(n, lo, hi):
+        k = rng.integers(lo, hi, n).astype(object)
+        k[rng.random(n) < 0.05] = None  # null join keys on both sides
+        return pa.array(list(k), pa.int64())
+
+    # key ranges overlap only partially -> unmatched rows on both sides
+    ltab = pa.table({"k": keys(n_l, 0, 60), "v": np.arange(n_l)})
+    rtab = pa.table({"k": keys(n_r, 30, 90), "w": np.arange(n_r)})
+    con = duckdb.connect()
+    con.register("l", ltab)
+    con.register("r", rtab)
+
+    def canon(rows):
+        return sorted((-1 if k is None else k, -1 if v is None else v,
+                       -1 if w is None else w) for k, v, w in rows)
+
+    for how, sql_kw in (("full", "FULL OUTER"), ("right", "RIGHT")):
+        got = hash_join(ray.data.from_arrow(ltab), ray.data.from_arrow(rtab),
+                        on="k", how=how).take_all()
+        want = con.execute(
+            f"SELECT COALESCE(l.k, r.k) AS k, l.v, r.w "
+            f"FROM l {sql_kw} JOIN r ON l.k = r.k").fetchall()
+        assert canon((g["k"], g["v"], g["w"]) for g in got) == canon(want), how
+
+    # build-side salting replicates hot rows -> invalid under right/full
+    with pytest.raises(ValueError):
+        hash_join(ray.data.from_arrow(ltab), ray.data.from_arrow(rtab),
+                  on="k", how="full", hot_keys=[40])
+
+
 def test_asof_join_semantics(ray_session):
     """Backward as-of: last right row with ts <= left ts per key; nulls
     when nothing precedes; keys missing from right entirely -> nulls."""

@@ -1293,6 +1293,14 @@ def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
     (the shape the broadcast joins in customers_by_region /
     orders_by_segment degrade to when the build side stops being small).
 
+    ``how``: inner / left / semi / anti / right / full. Outer modes
+    compose per-bucket because a key value hashes to exactly ONE bucket
+    on both sides — a row unmatched in its bucket is unmatched globally;
+    null keys never match (SQL semantics) and surface unmatched from
+    whichever bucket their placement hash chose. right/full coalesce the
+    key column (Arrow emits the right side's key for right-unmatched
+    rows). Salting is incompatible with right/full (see below).
+
     Implementation: tag each side, union into one superset-schema stream
     (missing columns null), ``groupby(__bucket)`` co-groups each hash
     bucket, and the per-bucket kernel splits the sides back out and runs
@@ -1325,13 +1333,19 @@ def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
     meets exactly one copy of each matching right row). Without
     ``hot_keys`` a hot key still lands in one bucket.
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "semi", "anti", "right", "full"):
         raise ValueError(f"unsupported how={how!r}")
+    if hot_keys is not None and how in ("right", "full"):
+        # build-side salting replicates hot right rows once per salt; a
+        # replica with no probe match in its salt bucket would surface
+        # n_salts times as an unmatched right row under right/full outer
+        raise ValueError(f"hot_keys salting is not valid with how={how!r}")
     if n_buckets is None:
         n_buckets = derive_join_buckets(left, right, target_rows_per_bucket,
                                         est_rows)
     arrow_how = {"inner": "inner", "left": "left outer",
-                 "semi": "left semi", "anti": "left anti"}[how]
+                 "semi": "left semi", "anti": "left anti",
+                 "right": "right outer", "full": "full outer"}[how]
     lschema = left.schema()   # ray.data.Schema: .names + .types (arrow)
     rschema = right.schema()
     lcols = list(lschema.names)
@@ -1359,6 +1373,10 @@ def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
         if isinstance(key_arr, pa.ChunkedArray):
             key_arr = key_arr.combine_chunks()
         if pa.types.is_integer(key_type):
+            if key_arr.null_count:
+                # placement-only: nulls never match, they just need a
+                # deterministic bucket (NaN->uint64 is platform-defined)
+                key_arr = pc.fill_null(key_arr, 0)
             k = key_arr.to_numpy(zero_copy_only=False).astype(np.uint64)
             return k * np.uint64(0x9E3779B97F4A7C15)
         try:
@@ -1478,6 +1496,38 @@ def orders_customer_join(sf_dir: str) -> Dataset:
 
     est = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
     return hash_join(orders, cust, on="custkey", how="left", est_rows=est)
+
+
+def orders_customer_full_join(sf_dir: str) -> Dataset:
+    """FULL OUTER variant of the join above, with both sides filtered so
+    each carries unmatched rows: urgent orders x BUILDING customers.
+    Exercises hash_join(how="full") — unmatched rows of EITHER side
+    survive with the other side's columns null and the key coalesced
+    (the reconciliation shape: which orders lack a tracked customer,
+    which tracked customers placed no urgent order)."""
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_totalprice",
+                  "o_orderpriority"]) \
+        .map_batches(
+            lambda b: _cents(
+                b.filter(pc.equal(b["o_orderpriority"], "1-URGENT")),
+                "o_totalprice", "price_cents")
+            .drop_columns(["o_totalprice", "o_orderpriority"]),
+            batch_format="pyarrow") \
+        .map_batches(lambda t: t.rename_columns(
+            {"o_custkey": "custkey"}.get(c, c) for c in t.column_names),
+            batch_format="pyarrow")
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+            batch_format="pyarrow") \
+        .map_batches(lambda t: t.rename_columns(
+            {"c_custkey": "custkey"}.get(c, c) for c in t.column_names),
+            batch_format="pyarrow")
+    import pyarrow.parquet as pq
+
+    est = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    return hash_join(orders, cust, on="custkey", how="full", est_rows=est)
 
 
 # ---------------------------------------------------------------------------
