@@ -186,6 +186,19 @@ def test_hash_join_full_right_outer(ray_session):
         hash_join(ray.data.from_arrow(ltab), ray.data.from_arrow(rtab),
                   on="k", how="full", hot_keys=[40])
 
+    # string keys: '' and null hash to the same placement bucket
+    # (hash_strings folds both to the finalized-zero constant) — within
+    # the bucket Arrow must still MATCH ''=='' and never match nulls
+    sl = pa.table({"k": pa.array(["", None, "a"]), "v": [1, 2, 3]})
+    sr = pa.table({"k": pa.array(["", None, "b"]), "w": [10, 20, 30]})
+    got = hash_join(ray.data.from_arrow(sl), ray.data.from_arrow(sr),
+                    on="k", how="full").take_all()
+    rows = sorted(((r["k"], r["v"], r["w"]) for r in got),
+                  key=lambda t: (str(t[0]), t[1] or -1, t[2] or -1))
+    assert ("", 1, 10) in rows          # empty matches empty
+    assert len(rows) == 5               # 1 match + 2 null-key + a/b unmatched
+    assert all(not (v and w) for k, v, w in rows if k is None)
+
 
 def test_asof_join_semantics(ray_session):
     """Backward as-of: last right row with ts <= left ts per key; nulls
