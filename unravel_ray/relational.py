@@ -1304,8 +1304,10 @@ def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
     Implementation: tag each side, union into one superset-schema stream
     (missing columns null), ``groupby(__bucket)`` co-groups each hash
     bucket, and the per-bucket kernel splits the sides back out and runs
-    ``pyarrow.Table.join`` (inner / left outer; duplicate keys produce
-    the cartesian of matches natively). Bucketing instead of per-key
+    ``pyarrow.Table.join`` (any of the six modes via Arrow's
+    inner / left outer / left semi / left anti / right outer /
+    full outer; duplicate keys produce the cartesian of matches
+    natively). Bucketing instead of per-key
     grouping keeps the group count bounded regardless of key
     cardinality — per-group scheduling overhead doesn't scale with keys.
     ``n_buckets=None`` (default) derives the count from the data —
@@ -1335,10 +1337,13 @@ def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
     """
     if how not in ("inner", "left", "semi", "anti", "right", "full"):
         raise ValueError(f"unsupported how={how!r}")
-    if hot_keys is not None and how in ("right", "full"):
+    hot_list = list(hot_keys) if hot_keys is not None else []
+    if hot_list and how in ("right", "full"):
         # build-side salting replicates hot right rows once per salt; a
         # replica with no probe match in its salt bucket would surface
-        # n_salts times as an unmatched right row under right/full outer
+        # n_salts times as an unmatched right row under right/full outer.
+        # An EMPTY hot set is a no-op and stays valid (detect_hot_keys
+        # composes: it normally returns []).
         raise ValueError(f"hot_keys salting is not valid with how={how!r}")
     if n_buckets is None:
         n_buckets = derive_join_buckets(left, right, target_rows_per_bucket,
@@ -1361,11 +1366,7 @@ def hash_join(left: Dataset, right: Dataset, on: str, how: str = "inner",
         + [pa.field(o, rtypes[c]) for c, o in zip(rcols, rout)]
     )
     key_type = ltypes[on]
-    hot_arr = None
-    if hot_keys is not None:
-        hot_list = list(hot_keys)
-        if hot_list:
-            hot_arr = pa.array(hot_list).cast(key_type)
+    hot_arr = pa.array(hot_list).cast(key_type) if hot_list else None
 
     def _key_hash(key_arr) -> np.ndarray:
         """uint64 value-hash of the join key, vectorized for int and
@@ -1476,24 +1477,51 @@ def detect_hot_keys(ds: Dataset, on: str, min_rows: int = 250_000) -> list:
     return [r[on] for r in hot.take_all()]
 
 
+def _orders_cust_sides(sf_dir: str, priority: str | None = None,
+                       segment: str | None = None):
+    """Shared side-builder for the orders x customer join family: pruned
+    reads, money->cents, join-key rename to ``custkey``; optional literal
+    per-side filters (applied BEFORE the cents cast so dropped rows never
+    pay it). The rename map_batches hides the metadata count — callers
+    size buckets from the parquet footer (KB of metadata, no data read),
+    scaled by their filter's selectivity."""
+    ocols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    if priority is not None:
+        ocols = ocols + ["o_orderpriority"]
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        if priority is not None:
+            b = b.filter(pc.equal(b["o_orderpriority"], priority)) \
+                 .drop_columns(["o_orderpriority"])
+        return _cents(b, "o_totalprice", "price_cents") \
+            .drop_columns(["o_totalprice"])
+
+    orders = _pq(sf_dir, "orders", ocols) \
+        .map_batches(prep_orders, batch_format="pyarrow") \
+        .map_batches(lambda t: t.rename_columns(
+            {"o_custkey": "custkey"}.get(c, c) for c in t.column_names),
+            batch_format="pyarrow")
+
+    def prep_cust(t: pa.Table) -> pa.Table:
+        if segment is not None:
+            t = t.filter(pc.equal(t["c_mktsegment"], segment))
+        return t
+
+    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(prep_cust, batch_format="pyarrow") \
+        .map_batches(lambda t: t.rename_columns(
+            {"c_custkey": "custkey"}.get(c, c) for c in t.column_names),
+            batch_format="pyarrow")
+    return orders, cust
+
+
 def orders_customer_join(sf_dir: str) -> Dataset:
     """Orders LEFT-joined to customer via the generic co-group hash_join
     (no broadcast): the reference's files x ocr_data join at a scale where
     neither side is broadcastable. Slim projected columns only."""
-    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]) \
-        .map_batches(lambda b: _cents(b, "o_totalprice", "price_cents")
-                     .drop_columns(["o_totalprice"]), batch_format="pyarrow") \
-        .map_batches(lambda t: t.rename_columns(
-            {"o_custkey": "custkey"}.get(c, c) for c in t.column_names),
-            batch_format="pyarrow")
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
-        .map_batches(lambda t: t.rename_columns(
-            {"c_custkey": "custkey"}.get(c, c) for c in t.column_names),
-            batch_format="pyarrow")
-    # the rename map_batches hides the metadata count — size buckets from
-    # the parquet footer (KB of metadata, no data read)
     import pyarrow.parquet as pq
 
+    orders, cust = _orders_cust_sides(sf_dir)
     est = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
     return hash_join(orders, cust, on="custkey", how="left", est_rows=est)
 
@@ -1505,28 +1533,16 @@ def orders_customer_full_join(sf_dir: str) -> Dataset:
     survive with the other side's columns null and the key coalesced
     (the reconciliation shape: which orders lack a tracked customer,
     which tracked customers placed no urgent order)."""
-    orders = _pq(sf_dir, "orders",
-                 ["o_orderkey", "o_custkey", "o_totalprice",
-                  "o_orderpriority"]) \
-        .map_batches(
-            lambda b: _cents(
-                b.filter(pc.equal(b["o_orderpriority"], "1-URGENT")),
-                "o_totalprice", "price_cents")
-            .drop_columns(["o_totalprice", "o_orderpriority"]),
-            batch_format="pyarrow") \
-        .map_batches(lambda t: t.rename_columns(
-            {"o_custkey": "custkey"}.get(c, c) for c in t.column_names),
-            batch_format="pyarrow")
-    cust = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
-        .map_batches(
-            lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
-            batch_format="pyarrow") \
-        .map_batches(lambda t: t.rename_columns(
-            {"c_custkey": "custkey"}.get(c, c) for c in t.column_names),
-            batch_format="pyarrow")
     import pyarrow.parquet as pq
 
-    est = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    orders, cust = _orders_cust_sides(sf_dir, priority="1-URGENT",
+                                      segment="BUILDING")
+    # footer count scaled by the filter's selectivity (priorities are
+    # uniform 1-of-5 in this corpus) so derived buckets size to the rows
+    # actually joined; placement-only, so a skewed corpus merely
+    # over/under-provisions bucket count, never affects output
+    est = -(-pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+            // 5)
     return hash_join(orders, cust, on="custkey", how="full", est_rows=est)
 
 
